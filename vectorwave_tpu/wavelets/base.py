@@ -90,13 +90,20 @@ class DiscreteWavelet:
         return self.wavelet_type is WaveletType.ORTHOGONAL
 
     def validation_tolerance(self) -> float:
-        """Per-wavelet perfect-reconstruction tolerance (``Wavelet.java:122-129``)."""
-        return {
-            "sym8": 1e-6,
-            "sym10": 2e-4,
-            "coif2": 1e-4,
-            "dmey": 3e-3,
-        }.get(self.name, 1e-10)
+        """Per-wavelet perfect-reconstruction tolerance.
+
+        The reference relaxes sym8/sym10/coif2/dmey because its hardcoded
+        tables are rounded (``Wavelet.java:122-129``); our generated filters
+        are machine-precision, so only the inherently-truncated Fourier
+        families need slack (dmey ~1e-5 instead of the reference's 3e-3;
+        Battle-Lemarié short truncations ~5e-2, still far tighter than the
+        reference's 5-20% deviations).
+        """
+        if self.family == "BattleLemarie":
+            return 5e-2
+        if self.name == "dmey":
+            return 1e-4
+        return 1e-10
 
     def validate_perfect_reconstruction(self) -> bool:
         """Check PR conditions within tolerance (``Wavelet.java:118-162``).

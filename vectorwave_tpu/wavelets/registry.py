@@ -33,6 +33,9 @@ def register_alias(alias: str, target: str) -> None:
 
 
 def _register_builtins() -> None:
+    from . import biorthogonal as bior
+    from . import coiflets, fourier_families
+
     _FACTORIES["haar"] = orthogonal.haar
     _ALIASES["db1"] = "haar"
     # Daubechies db2..db38 (reference ships even orders 2..38,
@@ -42,6 +45,22 @@ def _register_builtins() -> None:
     # Symlets sym2..sym20 (Symlet.java).
     for order in range(2, 21):
         _FACTORIES[f"sym{order}"] = functools.partial(orthogonal.symlet, order)
+    # Coiflets coif1..coif17 (Coiflet.java).
+    for order in range(1, coiflets.MAX_ORDER + 1):
+        _FACTORIES[f"coif{order}"] = functools.partial(coiflets.coiflet, order)
+    # Biorthogonal / reverse biorthogonal splines (BiorthogonalSpline.java,
+    # ReverseBiorthogonalSpline.java).
+    for nr, nd in bior.VARIANTS:
+        _FACTORIES[f"bior{nr}.{nd}"] = functools.partial(bior.biorthogonal, nr, nd)
+        _FACTORIES[f"rbio{nr}.{nd}"] = functools.partial(
+            bior.reverse_biorthogonal, nr, nd
+        )
+    # Discrete Meyer + Battle-Lemarié (DiscreteMeyer.java, BattleLemarieWavelet.java).
+    _FACTORIES["dmey"] = fourier_families.discrete_meyer
+    for order in range(1, 6):
+        _FACTORIES[f"blem{order}"] = functools.partial(
+            fourier_families.battle_lemarie, order
+        )
 
 
 _register_builtins()
