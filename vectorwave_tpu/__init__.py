@@ -17,6 +17,17 @@ from .errors import (
     InvalidStateError,
     VectorWaveError,
 )
+from .denoise import denoise, denoise_fixed, denoise_multilevel, threshold_coeffs
+from .ops.thresholds import (
+    apply_threshold,
+    hard_threshold,
+    mad_sigma,
+    select_threshold,
+    soft_threshold,
+    universal_threshold,
+)
+from .padding import STRATEGIES as PADDING_STRATEGIES
+from .padding import adaptive_strategy, pad_signal
 from .transforms.modwt import MODWTResult, imodwt, modwt
 from .transforms.multilevel import (
     MAX_DECOMPOSITION_LEVELS,
@@ -24,6 +35,16 @@ from .transforms.multilevel import (
     imodwt_multilevel,
     max_levels,
     modwt_multilevel,
+)
+from .transforms.swt import (
+    SWTResult,
+    apply_universal_threshold,
+    extract_level,
+    iswt,
+    mra,
+    swt,
+    swt_denoise,
+    threshold_level,
 )
 from .wavelets.base import (
     ContinuousWavelet,
@@ -47,6 +68,27 @@ from .wavelets.registry import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "denoise",
+    "denoise_fixed",
+    "denoise_multilevel",
+    "threshold_coeffs",
+    "soft_threshold",
+    "hard_threshold",
+    "apply_threshold",
+    "mad_sigma",
+    "select_threshold",
+    "universal_threshold",
+    "swt",
+    "iswt",
+    "SWTResult",
+    "swt_denoise",
+    "threshold_level",
+    "apply_universal_threshold",
+    "extract_level",
+    "mra",
+    "pad_signal",
+    "adaptive_strategy",
+    "PADDING_STRATEGIES",
     "ErrorCode",
     "VectorWaveError",
     "InvalidArgumentError",
