@@ -36,6 +36,20 @@ from .transforms.multilevel import (
     max_levels,
     modwt_multilevel,
 )
+from .transforms.cwt import (
+    CWTResult,
+    cwt,
+    frequency_to_scale,
+    icwt,
+    reconstruct_band,
+    reconstruct_frequency_band,
+    scale_to_frequency,
+    scales_dyadic,
+    scales_linear,
+    scales_log,
+    select_scales_optimal,
+    select_scales_signal_adaptive,
+)
 from .transforms.swt import (
     SWTResult,
     apply_universal_threshold,
@@ -67,7 +81,23 @@ from .wavelets.registry import (
 
 __version__ = "0.1.0"
 
+from . import finance, streaming
+
 __all__ = [
+    "streaming",
+    "cwt",
+    "icwt",
+    "CWTResult",
+    "reconstruct_band",
+    "reconstruct_frequency_band",
+    "scale_to_frequency",
+    "frequency_to_scale",
+    "scales_linear",
+    "scales_log",
+    "scales_dyadic",
+    "select_scales_optimal",
+    "select_scales_signal_adaptive",
+    "finance",
     "denoise",
     "denoise_fixed",
     "denoise_multilevel",

@@ -1,0 +1,25 @@
+from .stream import (
+    StreamingState,
+    modwt_stream_block,
+    modwt_stream_flush,
+    streaming_init,
+    suggest_flush_tail_length,
+)
+from .denoiser_stream import (
+    StreamingDenoiser,
+    StreamingDenoiserState,
+    streaming_denoiser_init,
+    streaming_denoise_block,
+)
+
+__all__ = [
+    "StreamingState",
+    "streaming_init",
+    "modwt_stream_block",
+    "modwt_stream_flush",
+    "suggest_flush_tail_length",
+    "StreamingDenoiserState",
+    "streaming_denoiser_init",
+    "streaming_denoise_block",
+    "StreamingDenoiser",
+]

@@ -61,6 +61,13 @@ def _register_builtins() -> None:
         _FACTORIES[f"blem{order}"] = functools.partial(
             fourier_families.battle_lemarie, order
         )
+    # Continuous wavelets (cwt/*.java, cwt/finance/*.java).
+    from . import continuous
+
+    continuous.register_continuous(
+        lambda name, factory: _FACTORIES.__setitem__(name, factory),
+        lambda alias, target: _ALIASES.__setitem__(alias, target),
+    )
 
 
 _register_builtins()
