@@ -1,0 +1,122 @@
+"""Sharded/tiled transforms on the virtual 8-device CPU mesh.
+
+The analogue of the reference's ``ParallelVsSequentialEquivalenceTest``:
+sharded and tiled execution must match single-device output exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vectorwave_tpu as vw
+from vectorwave_tpu.parallel import (
+    default_mesh,
+    imodwt_multilevel_tiled,
+    make_mesh,
+    modwt_multilevel_sharded_batch,
+    modwt_multilevel_tiled,
+    shard_batch,
+)
+from .conftest import composite_sin
+
+
+@pytest.fixture(scope="module")
+def signal_mesh():
+    return make_mesh({"signal": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh_2d():
+    return make_mesh({"data": 2, "signal": 4})
+
+
+def test_mesh_helpers():
+    mesh = default_mesh()
+    assert mesh.shape["data"] == 8
+    with pytest.raises(vw.InvalidArgumentError):
+        make_mesh({"data": 64})
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero", "symmetric"])
+def test_tiled_forward_equals_single_device(signal_mesh, boundary):
+    x = jnp.asarray(composite_sin(1024, noise_std=0.3))
+    tiled = modwt_multilevel_tiled(
+        x, "db4", levels=4, mesh=signal_mesh, boundary=boundary
+    )
+    single = vw.modwt_multilevel(x, "db4", levels=4, boundary=boundary)
+    for a, b in zip(tiled.details, single.details):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(tiled.approx), np.asarray(single.approx))
+
+
+def test_tiled_roundtrip_periodic_exact(signal_mesh):
+    x = jnp.asarray(composite_sin(1024, noise_std=0.2))
+    res = modwt_multilevel_tiled(x, "sym8", levels=3, mesh=signal_mesh)
+    xr = imodwt_multilevel_tiled(res, "sym8", mesh=signal_mesh)
+    assert float(jnp.max(jnp.abs(xr - x))) < 1e-10
+
+
+def test_tiled_inverse_matches_single_device_zero(signal_mesh):
+    x = jnp.asarray(composite_sin(512, noise_std=0.2))
+    res = modwt_multilevel_tiled(x, "db4", levels=3, mesh=signal_mesh, boundary="zero")
+    xr = imodwt_multilevel_tiled(res, "db4", mesh=signal_mesh, boundary="zero")
+    single = vw.imodwt_multilevel(
+        vw.modwt_multilevel(x, "db4", levels=3, boundary="zero"), "db4", boundary="zero"
+    )
+    np.testing.assert_array_equal(np.asarray(xr), np.asarray(single))
+
+
+def test_tiled_symmetric_inverse_rejected(signal_mesh):
+    x = jnp.asarray(composite_sin(512))
+    res = modwt_multilevel_tiled(
+        x, "db4", levels=2, mesh=signal_mesh, boundary="symmetric"
+    )
+    with pytest.raises(vw.InvalidArgumentError):
+        imodwt_multilevel_tiled(res, "db4", mesh=signal_mesh, boundary="symmetric")
+
+
+def test_tiled_uneven_shards_rejected(signal_mesh):
+    with pytest.raises(vw.InvalidArgumentError):
+        modwt_multilevel_tiled(
+            jnp.zeros(1001), "db4", levels=2, mesh=signal_mesh
+        )
+
+
+def test_multihop_halo(signal_mesh):
+    """Halo wider than one shard: level-4 db8 needs (16-1)*8 = 120 > 32."""
+    x = jnp.asarray(composite_sin(256, noise_std=0.1))
+    tiled = modwt_multilevel_tiled(x, "db8", levels=4, mesh=signal_mesh)
+    single = vw.modwt_multilevel(x, "db8", levels=4)
+    for a, b in zip(tiled.details, single.details):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+def test_batched_tiled_2d_mesh(mesh_2d):
+    batch = np.stack([composite_sin(512, seed=s, noise_std=0.1) for s in range(4)])
+    x = jnp.asarray(batch)
+    tiled = modwt_multilevel_tiled(x, "db4", levels=3, mesh=mesh_2d)
+    single = vw.modwt_multilevel(x, "db4", levels=3)
+    np.testing.assert_array_equal(np.asarray(tiled.approx), np.asarray(single.approx))
+
+
+def test_sharded_batch_facade(mesh_2d):
+    batch = np.stack([composite_sin(256, seed=s) for s in range(4)])
+    res = modwt_multilevel_sharded_batch(
+        jnp.asarray(batch), "db4", levels=3, mesh=mesh_2d, axis="data"
+    )
+    single = vw.modwt_multilevel(jnp.asarray(batch), "db4", levels=3)
+    np.testing.assert_allclose(
+        np.asarray(res.details[0]), np.asarray(single.details[0]), atol=1e-12
+    )
+    sharded = shard_batch(jnp.asarray(batch), mesh_2d)
+    assert sharded.sharding.spec[0] == "data"
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+    graft.dryrun_multichip(8)

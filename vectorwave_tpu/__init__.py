@@ -81,10 +81,11 @@ from .wavelets.registry import (
 
 __version__ = "0.1.0"
 
-from . import finance, streaming
+from . import finance, parallel, streaming
 
 __all__ = [
     "streaming",
+    "parallel",
     "cwt",
     "icwt",
     "CWTResult",

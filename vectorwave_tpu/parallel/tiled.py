@@ -1,0 +1,247 @@
+"""Long-signal MODWT tiled across chips with halo exchange.
+
+This is the distributed centerpiece: the TPU-native analogue of the
+reference's intra-signal parallelism — the SWT adapter's output-range
+chunking (``swt/VectorWaveSwtAdapter.java:210-240``) and the streaming
+kernels' left-history halos of ``L_j - 1 = (L0-1)*2^(j-1)`` samples
+(``extensions/modwt/BatchSIMDMODWT.java:447-455``,
+``BatchStreamingMODWT.java:13-17``).
+
+A length-N signal is sharded along its last axis over a mesh axis; inside
+``shard_map`` each level exchanges exactly the filter-support halo with its
+ring neighbors via ``jax.lax.ppermute`` (ICI neighbor traffic, no
+all-gather), then runs the same local à trous convolution as the
+single-chip path.  PERIODIC uses the ring wrap link (global circular parity
+is exact); ZERO drops the wrap link — ``ppermute`` zero-fills missing
+sources, which IS the zero extension; SYMMETRIC mirrors the edge shards'
+own data.  Halos wider than one shard (deep levels) are gathered hop-by-hop.
+
+Multi-level cascades therefore stay bit-exact with the single-device
+transform: config #5-style 1M-sample signals decompose across a slice with
+per-level halos of (L0-1)*2^(j-1) samples — e.g. 224 samples/boundary for a
+6-level db4.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import ErrorCode, InvalidArgumentError
+from ..ops.convolve import atrous_analysis_pair, atrous_convolve, effective_length
+from ..transforms.modwt import _resolve_discrete
+from ..transforms.multilevel import MultiLevelMODWTResult, _check_level_fits
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+
+def _ring_perms(axis: str, mesh: Mesh, wrap: bool):
+    size = mesh.shape[axis]
+    from_left = [(i, (i + 1) % size) for i in range(size)]
+    from_right = [((i + 1) % size, i) for i in range(size)]
+    if not wrap:
+        from_left = [(a, b) for a, b in from_left if b != 0]
+        from_right = [(a, b) for a, b in from_right if b != size - 1]
+    return from_left, from_right
+
+
+def _gather_halo(
+    local: jnp.ndarray,
+    halo_len: int,
+    axis: str,
+    perm,
+    side: str,
+) -> jnp.ndarray:
+    """Fetch ``halo_len`` samples adjacent to this shard from ring neighbors,
+    hop-by-hop for halos wider than one shard."""
+    n_loc = local.shape[-1]
+    hops = -(-halo_len // n_loc)
+    blocks = []
+    carried = local
+    for _ in range(hops):
+        carried = jax.lax.ppermute(carried, axis, perm)
+        blocks.append(carried)
+    if side == "left":
+        # blocks[0] = left neighbor, blocks[1] = left-left, ...
+        ext = jnp.concatenate(blocks[::-1], axis=-1)
+        return ext[..., -halo_len:]
+    ext = jnp.concatenate(blocks, axis=-1)
+    return ext[..., :halo_len]
+
+
+def _mirror_tail(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Half-point mirror of the HEAD of x, as a left extension of length
+    ``length`` (global symmetric-boundary parity for the first shard)."""
+    n = x.shape[-1]
+    reps = -(-length // n)
+    tiles = []
+    flip = True
+    src = x
+    for _ in range(reps):
+        tiles.append(jnp.flip(src, axis=-1) if flip else src)
+        flip = not flip
+    return jnp.concatenate(tiles[::-1], axis=-1)[..., -length:]
+
+
+def _mirror_head(x: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Half-point mirror of the TAIL of x, as a right extension."""
+    n = x.shape[-1]
+    reps = -(-length // n)
+    tiles = []
+    flip = True
+    src = x
+    for _ in range(reps):
+        tiles.append(jnp.flip(src, axis=-1) if flip else src)
+        flip = not flip
+    return jnp.concatenate(tiles, axis=-1)[..., :length]
+
+
+def modwt_multilevel_tiled(
+    x: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int,
+    mesh: Mesh,
+    axis: str = "signal",
+    boundary: str = "periodic",
+) -> MultiLevelMODWTResult:
+    """Multi-level MODWT of a signal sharded along its LAST axis.
+
+    Bit-parity with the single-device ``modwt_multilevel`` for every
+    boundary mode; communication is one halo exchange per level over ICI.
+    """
+    w = _resolve_discrete(wavelet)
+    boundary_l = boundary.lower()
+    n = x.shape[-1]
+    size = mesh.shape[axis]
+    if n % size != 0:
+        raise InvalidArgumentError(
+            ErrorCode.DIST_TILE_TOO_SMALL,
+            f"Signal length {n} must divide evenly across {size} shards",
+            suggestions=("Pad the signal to a multiple of the mesh axis size",),
+        )
+    _check_level_fits(w, levels, n)
+    low = w.dec_lo * _INV_SQRT2
+    high = w.dec_hi * _INV_SQRT2
+    wrap = boundary_l.startswith("per")
+    from_left, _ = _ring_perms(axis, mesh, wrap)
+
+    def shard_fn(x_local):
+        idx = jax.lax.axis_index(axis)
+        cur = x_local
+        details = []
+        for level in range(1, levels + 1):
+            spacing = 1 << (level - 1)
+            halo_len = effective_length(w.filter_length, level) - 1
+            n_loc = cur.shape[-1]
+            halo = _gather_halo(cur, halo_len, axis, from_left, "left")
+            if boundary_l.startswith("sym"):
+                mirror = _mirror_tail(cur, halo_len)
+                halo = jnp.where(idx == 0, mirror, halo)
+            ext = jnp.concatenate([halo, cur], axis=-1)
+            approx, detail = atrous_analysis_pair(
+                ext, low, high, spacing=spacing, boundary="zero"
+            )
+            details.append(detail[..., -n_loc:])
+            cur = approx[..., -n_loc:]
+        return tuple(details), cur
+
+    spec = P(*([None] * (x.ndim - 1)), axis)
+    shard_spec = spec
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(shard_spec,),
+        out_specs=(tuple(shard_spec for _ in range(levels)), shard_spec),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, spec))
+    details, approx = fn(x)
+    return MultiLevelMODWTResult(tuple(details), approx)
+
+
+def imodwt_multilevel_tiled(
+    result: MultiLevelMODWTResult,
+    wavelet,
+    *,
+    mesh: Mesh,
+    axis: str = "signal",
+    boundary: str = "periodic",
+) -> jnp.ndarray:
+    """Inverse of :func:`modwt_multilevel_tiled` (periodic / zero boundaries).
+
+    Synthesis uses the adjoint ``(t + 2^(j-1) l)`` indexing, so halos come
+    from the RIGHT ring neighbors.  SYMMETRIC's alignment-shifted inverse
+    needs two-sided, tau-offset halos — gather to one device for that mode.
+    """
+    w = _resolve_discrete(wavelet)
+    boundary_l = boundary.lower()
+    if boundary_l.startswith("sym"):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+            "Tiled symmetric inverse is not supported",
+            suggestions=(
+                "Use boundary='periodic' (exact) or reconstruct on one device",
+            ),
+        )
+    low = w.rec_lo * _INV_SQRT2
+    high = w.rec_hi * _INV_SQRT2
+    wrap = boundary_l.startswith("per")
+    _, from_right = _ring_perms(axis, mesh, wrap)
+    levels = result.levels
+
+    def shard_fn(details, approx):
+        cur = approx
+        for level in range(levels, 0, -1):
+            spacing = 1 << (level - 1)
+            halo_len = effective_length(w.filter_length, level) - 1
+            n_loc = cur.shape[-1]
+            detail = details[level - 1]
+            cur_halo = _gather_halo(cur, halo_len, axis, from_right, "right")
+            det_halo = _gather_halo(detail, halo_len, axis, from_right, "right")
+            cur_ext = jnp.concatenate([cur, cur_halo], axis=-1)
+            det_ext = jnp.concatenate([detail, det_halo], axis=-1)
+            rec = atrous_convolve(
+                cur_ext, low, spacing=spacing, boundary="zero", sign=+1
+            ) + atrous_convolve(det_ext, high, spacing=spacing, boundary="zero", sign=+1)
+            cur = rec[..., :n_loc]
+        return cur
+
+    ndim = result.approx.ndim
+    spec = P(*([None] * (ndim - 1)), axis)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(tuple(spec for _ in range(levels)), spec),
+        out_specs=spec,
+    )
+    return fn(result.details, result.approx)
+
+
+def tiled_roundtrip_check(
+    mesh: Mesh,
+    *,
+    axis: str = "signal",
+    wavelet: str = "db4",
+    levels: int = 3,
+    n: int = 1024,
+    dtype=jnp.float32,
+    seed: int = 0,
+) -> float:
+    """Round-trip a random signal through the tiled transform; returns the
+    max abs error vs the input (driver/dryrun utility)."""
+    import numpy as np
+
+    x = jnp.asarray(
+        np.random.default_rng(seed).standard_normal(n), dtype=dtype
+    )
+    res = modwt_multilevel_tiled(
+        x, wavelet, levels=levels, mesh=mesh, axis=axis, boundary="periodic"
+    )
+    xr = imodwt_multilevel_tiled(
+        res, wavelet, mesh=mesh, axis=axis, boundary="periodic"
+    )
+    return float(jnp.max(jnp.abs(xr - x)))
