@@ -33,6 +33,13 @@ def _roundtrip(x):
 
 
 def main() -> None:
+    import os
+
+    cache_dir = os.path.expanduser("~/.cache/vectorwave_tpu_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     device = jax.devices()[0]
     on_tpu = device.platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
@@ -42,19 +49,31 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, N)), dtype=dtype)
 
+    import sys
+
+    print(f"bench: compiling on {device.device_kind} ...", file=sys.stderr, flush=True)
     fn = jax.jit(_roundtrip)
     xr = fn(x)
     xr.block_until_ready()  # compile + warm-up
+    print("bench: compiled; timing ...", file=sys.stderr, flush=True)
 
     # Accuracy check on the same config (round-trip RMSE)
     rmse = float(jnp.sqrt(jnp.mean((x - xr) ** 2)))
 
-    # Timed runs
+    # Timed runs: iterate ON-DEVICE inside one jit (fori_loop carries the
+    # output back as input), so a single dispatch covers all iterations and
+    # the measurement is immune to async-dispatch / remote-runtime quirks.
     n_iters = 20
+
+    @jax.jit
+    def repeat(x):
+        return jax.lax.fori_loop(0, n_iters, lambda _, y: _roundtrip(y), x)
+
+    warm = repeat(x)
+    np.asarray(warm[0, :8])  # compile + warm-up + readback path
     start = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(x)
-    out.block_until_ready()
+    out = repeat(x)
+    np.asarray(out[0, :8])
     elapsed = time.perf_counter() - start
 
     samples = BATCH * N * n_iters

@@ -81,11 +81,22 @@ from .wavelets.registry import (
 
 __version__ = "0.1.0"
 
-from . import finance, parallel, streaming
+from . import cost_model, finance, kernels, observability, parallel, streaming
+from .config import TransformConfig, get_backend, set_backend
+from .ops.facade import get_performance_info
+from .transforms.cwt_modwt_inverse import modwt_based_icwt
 
 __all__ = [
     "streaming",
     "parallel",
+    "kernels",
+    "TransformConfig",
+    "set_backend",
+    "get_backend",
+    "cost_model",
+    "observability",
+    "get_performance_info",
+    "modwt_based_icwt",
     "cwt",
     "icwt",
     "CWTResult",

@@ -1,0 +1,54 @@
+"""Global configuration.
+
+TPU-native re-design of the reference's configuration surface
+(``wavelet/config/TransformConfig.java:54-222`` builder and the
+``vectorwave.*`` system properties, docs/CONFIGURATION.md): a small dataclass
+plus module-level knobs.  The reference's ``forceScalar``/``forceVector``
+flags map to the kernel-backend selection here (``jnp`` = portable XLA path,
+``pallas`` = fused TPU kernels); the FFT heuristics knobs map to the CWT
+engine; the runtime-learning estimator is replaced by a static cost model
+(XLA compiles; there is nothing to learn at runtime) — see ``cost_model``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+_VALID_BACKENDS = ("auto", "jnp", "pallas")
+
+_backend = os.environ.get("VECTORWAVE_TPU_BACKEND", "auto")
+
+
+def set_backend(name: str) -> None:
+    """Select the compute backend: ``auto`` (Pallas on TPU when eligible),
+    ``jnp`` (always the portable path) or ``pallas`` (force fused kernels)."""
+    if name not in _VALID_BACKENDS:
+        from .errors import ErrorCode, InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown backend {name!r}",
+            suggestions=(f"Use one of {_VALID_BACKENDS}",),
+        )
+    global _backend
+    _backend = name
+
+
+def get_backend() -> str:
+    return _backend
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    """Bundle of transform options (reference: TransformConfig builder).
+
+    ``boundary``: periodic / zero / symmetric.
+    ``backend``: auto / jnp / pallas (force_scalar <-> backend='jnp').
+    ``max_decomposition_levels``: safety cap (reference default 20; the
+    multi-level transform itself caps at 10).
+    """
+
+    boundary: str = "periodic"
+    backend: str = "auto"
+    max_decomposition_levels: int = 20

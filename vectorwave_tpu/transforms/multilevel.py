@@ -105,17 +105,44 @@ def _check_level_fits(w: DiscreteWavelet, level: int, n: int) -> None:
         )
 
 
+def _pallas_eligible(x: jnp.ndarray, w: DiscreteWavelet, levels: int, boundary: str) -> bool:
+    """Whether the fused Pallas path can serve this call (TPU backend, f32/bf16,
+    periodic/zero boundary, filter halo fits the tile budget)."""
+    from ..config import get_backend
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    from ..kernels.modwt_pallas import pallas_available, total_halo
+
+    if backend == "auto" and not pallas_available():
+        return False
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    if not (boundary.lower().startswith("per") or boundary.lower().startswith("zero")):
+        return False
+    if levels < 2:
+        return False
+    n = x.shape[-1]
+    halo_pad = -(-max(total_halo(w.filter_length, levels), 1) // 128) * 128
+    return halo_pad <= n
+
+
 def modwt_multilevel(
     x: jnp.ndarray,
     wavelet,
     *,
     levels: int | None = None,
     boundary: str = "periodic",
+    backend: str | None = None,
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT decomposition (``decompose`` :209-254).
 
     At level j the previous approximation is convolved with the base filters at
-    stride ``2^(j-1)``, scaled ``1/sqrt(2)`` per stage.
+    stride ``2^(j-1)``, scaled ``1/sqrt(2)`` per stage.  On TPU with f32/bf16
+    and periodic/zero boundaries, the whole cascade runs as one fused Pallas
+    kernel (``backend='auto'``; pass ``backend='jnp'`` to force the portable
+    path — the reference's forceScalar analogue).
     """
     w = _resolve_discrete(wavelet)
     _validate_signal(x)
@@ -129,6 +156,22 @@ def modwt_multilevel(
             context={"signal_length": n, "wavelet": w.name},
         )
     _check_level_fits(w, levels, n)
+
+    use_pallas = (
+        backend != "jnp"
+        if backend is not None
+        else _pallas_eligible(x, w, levels, boundary)
+    )
+    if backend == "pallas" or (backend is None and use_pallas):
+        from ..kernels.modwt_pallas import fused_analysis
+
+        batch_shape = x.shape[:-1]
+        flat = x.reshape((-1, n)) if x.ndim != 1 else x
+        details, approx = fused_analysis(flat, w, levels=levels, boundary=boundary)
+        if x.ndim > 2:
+            details = tuple(d.reshape(batch_shape + (n,)) for d in details)
+            approx = approx.reshape(batch_shape + (n,))
+        return MultiLevelMODWTResult(tuple(details), approx)
 
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
@@ -206,10 +249,33 @@ def imodwt_multilevel(
     wavelet,
     *,
     boundary: str = "periodic",
+    backend: str | None = None,
 ) -> jnp.ndarray:
     """Multi-level MODWT reconstruction, coarsest to finest
-    (``reconstruct`` :339-349 + ``applyScaledInverseMODWT`` :554-645)."""
+    (``reconstruct`` :339-349 + ``applyScaledInverseMODWT`` :554-645).
+    Routes through the fused Pallas synthesis kernel on TPU like
+    :func:`modwt_multilevel`.
+    """
     w = _resolve_discrete(wavelet)
+    use_pallas = (
+        backend != "jnp"
+        if backend is not None
+        else _pallas_eligible(result.approx, w, result.levels, boundary)
+    )
+    if backend == "pallas" or (backend is None and use_pallas):
+        from ..kernels.modwt_pallas import fused_synthesis
+
+        n = result.approx.shape[-1]
+        batch_shape = result.approx.shape[:-1]
+        if result.approx.ndim > 2:
+            details = tuple(d.reshape((-1, n)) for d in result.details)
+            approx = result.approx.reshape((-1, n))
+        else:
+            details, approx = result.details, result.approx
+        out = fused_synthesis(details, approx, w, boundary=boundary)
+        if result.approx.ndim > 2:
+            out = out.reshape(batch_shape + (n,))
+        return out
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     boundary_l = boundary.lower()
