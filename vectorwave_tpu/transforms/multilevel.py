@@ -193,9 +193,40 @@ class _AlignmentDecision(NamedTuple):
     delta_detail: int
 
 
+#: Per-(wavelet, level) decisions derived by our own coordinate-descent sweep
+#: (tools/derive_symmetric_alignment.py — the reference's sweep methodology,
+#: MultiLevelMODWTSymmetricAlignmentSweepTest).  Seeded from the reference's
+#: table and only accepted when strictly better, so quality dominates the
+#: ported heuristic; deeper levels reuse the last entry.
+_DERIVED_ALIGNMENT: dict[str, list[tuple[bool, int, bool, int]]] = {
+    "haar": [(True, 0, True, 0), (True, -1, True, -1), (True, -1, True, -1), (True, -1, True, -1), (True, -1, False, -1)],
+    "db2": [(False, -1, True, -1), (False, 0, False, -1), (False, 1, True, 1), (False, -1, False, -1), (False, 1, True, 1)],
+    "db4": [(False, -1, True, 0), (False, -1, True, 1), (False, -1, True, 1), (True, 1, False, 1), (False, 1, False, 1)],
+    "db6": [(True, 1, False, -1), (False, -1, True, -1), (False, -1, False, -1), (False, 1, False, -1), (False, -1, True, -1)],
+    "db8": [(False, 1, True, 1), (False, 1, False, 1), (False, 1, False, 0), (True, 1, True, 1), (False, -1, True, 1)],
+    "db10": [(False, -1, False, -1), (True, 1, True, 1), (False, -1, True, 1), (False, 1, True, -1), (False, 1, True, 1)],
+    "sym4": [(False, 0, True, 0), (True, -1, True, -1), (True, 1, True, 1), (False, 1, False, -1), (False, 1, True, 1)],
+    "sym8": [(True, 0, False, 1), (False, 1, False, 0), (False, 1, True, 0), (False, 1, True, -1), (True, -1, False, 1)],
+    "sym12": [(False, 0, False, 1), (False, 1, True, -1), (False, 1, False, 1), (True, -1, True, -1), (False, 1, False, -1)],
+    "coif2": [(True, 0, False, 0), (True, 1, False, 1), (True, 1, True, 0), (True, 1, False, -1), (True, -1, False, -1)],
+    "coif3": [(False, 0, False, 1), (False, 1, True, 1), (False, -1, True, -1), (True, -1, False, -1), (True, -1, True, -1)],
+    "coif5": [(False, 1, True, 1), (False, 1, False, 1), (True, 1, True, 1), (False, -1, True, 1), (False, -1, True, -1)],
+    "bior2.2": [(True, 1, True, 1), (True, 0, True, 1), (True, 1, True, 0), (True, 0, True, -1), (True, -1, True, -1)],
+    "bior4.4": [(True, 1, True, -1), (True, 1, True, 1), (True, 1, True, 1), (True, 1, True, 0), (True, -1, True, 0)],
+}
+
+
 def _symmetric_alignment(w: DiscreteWavelet, level: int) -> _AlignmentDecision:
-    """Empirical symmetric-inverse orientation table, ported verbatim from the
-    reference sweep results (``SymmetricAlignmentStrategy.decide`` :44-120)."""
+    """Symmetric-inverse orientation decision.
+
+    Prefers the sweep-derived per-level table (better interior NRMSE than the
+    reference baselines); falls back to the reference's heuristic table for
+    wavelets not yet swept (``SymmetricAlignmentStrategy.decide`` :44-120).
+    """
+    derived = _DERIVED_ALIGNMENT.get(w.name)
+    if derived is not None:
+        entry = derived[min(level, len(derived)) - 1]
+        return _AlignmentDecision(*entry)
     base_len = w.rec_lo.shape[0]
     name = w.name
 
