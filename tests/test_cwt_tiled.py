@@ -1,0 +1,66 @@
+"""Distributed (tiled) CWT equivalence on the virtual 8-device mesh."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vectorwave_tpu as vw
+from vectorwave_tpu.parallel import cwt_tiled, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh({"signal": 8})
+
+
+def _signal(n=2048):
+    t = np.arange(n)
+    return jnp.asarray(np.sin(2 * np.pi * t / 32) + 0.5 * np.sin(2 * np.pi * t / 128))
+
+
+def test_tiled_cwt_matches_single_device(mesh):
+    x = _signal()
+    scales = vw.scales_log(2, 32, 16)
+    tiled = cwt_tiled(x, scales, "morl", mesh=mesh)
+    single = vw.cwt(x, scales, "morl")
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs), np.asarray(single.coeffs), atol=1e-12
+    )
+
+
+def test_tiled_cwt_complex_wavelet_exact(mesh):
+    x = _signal()
+    scales = vw.scales_log(2, 16, 8)
+    tiled = cwt_tiled(x, scales, "cmor", mesh=mesh)
+    single = vw.cwt(x, scales, "cmor")
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs), np.asarray(single.coeffs), atol=1e-12
+    )
+
+
+def test_tiled_cwt_multihop_halo(mesh):
+    """Max scale's support (4*48=192) wider than one 128-sample shard."""
+    x = _signal(1024)
+    scales = (8.0, 48.0)
+    tiled = cwt_tiled(x, scales, "mexh", mesh=mesh)
+    single = vw.cwt(x, scales, "mexh")
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs), np.asarray(single.coeffs), atol=1e-12
+    )
+
+
+def test_tiled_cwt_analytic_approximation(mesh):
+    x = _signal()
+    scales = vw.scales_log(2, 32, 8)
+    tiled = cwt_tiled(x, scales, "morl", mesh=mesh, analytic=True)
+    single = vw.cwt(x, scales, "morl", analytic=True)
+    rel = float(
+        jnp.max(jnp.abs(tiled.coeffs - single.coeffs))
+        / jnp.max(jnp.abs(single.coeffs))
+    )
+    assert rel < 5e-3  # tile-local Hilbert: documented approximation
+
+
+def test_tiled_cwt_uneven_rejected(mesh):
+    with pytest.raises(vw.InvalidArgumentError):
+        cwt_tiled(jnp.zeros(1001), (4.0,), "morl", mesh=mesh)

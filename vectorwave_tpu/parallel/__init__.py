@@ -5,8 +5,10 @@ from .tiled import (
     modwt_multilevel_tiled,
     tiled_roundtrip_check,
 )
+from .cwt_tiled import cwt_tiled
 
 __all__ = [
+    "cwt_tiled",
     "make_mesh",
     "default_mesh",
     "shard_batch",

@@ -107,6 +107,38 @@ def _sample_bank(
     return bank, is_complex
 
 
+#: above this FFT size the full frequency bank is assembled ON DEVICE from the
+#: compact time-domain taps instead of baking an [S, fft_size] constant into
+#: the program (a 64-scale 1M-sample CWT would otherwise embed ~0.5 GB)
+_BAKED_BANK_MAX_FFT = 1 << 16
+
+
+def _device_bank_spec(
+    w: ContinuousWavelet,
+    scales: tuple[float, ...],
+    fft_size: int,
+    real: bool,
+    complex_dtype,
+) -> jnp.ndarray:
+    """conj(FFT(bank)) assembled on device from compact per-scale taps."""
+    rows = []
+    for scale in scales:
+        half = _half_support(scale, w.bandwidth)
+        k = np.arange(-half, half + 1)
+        vals = np.asarray(w.psi(k / scale), dtype=np.complex128) / math.sqrt(scale)
+        taps = jnp.asarray(vals, dtype=complex_dtype)
+        row = jnp.zeros(fft_size, dtype=complex_dtype)
+        row = row.at[: half + 1].add(taps[half:])
+        row = row.at[fft_size - half :].add(taps[:half])
+        rows.append(row)
+    bank = jnp.stack(rows)
+    if real:
+        spec = jnp.fft.rfft(jnp.real(bank), axis=-1)
+    else:
+        spec = jnp.fft.fft(bank, axis=-1)
+    return jnp.conj(spec)
+
+
 def cwt(
     x: jnp.ndarray,
     scales: Sequence[float],
@@ -144,7 +176,11 @@ def cwt(
     else:
         max_support = max(2 * _half_support(s, w.bandwidth) + 1 for s in scales)
         fft_size = _next_pow2(n + max_support - 1)
-    bank, is_complex = _sample_bank(w, scales, fft_size)
+    if fft_size > _BAKED_BANK_MAX_FFT:
+        bank = None
+        is_complex = bool(np.iscomplexobj(np.asarray(w.psi(np.zeros(1)))))
+    else:
+        bank, is_complex = _sample_bank(w, scales, fft_size)
     complex_out = is_complex or analytic
 
     if method == "direct":
@@ -159,6 +195,7 @@ def cwt(
     real_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     complex_dtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
 
+    big = fft_size > _BAKED_BANK_MAX_FFT
     if complex_out:
         spec_x = jnp.fft.fft(x.astype(real_dtype), n=fft_size, axis=-1)
         if analytic and not is_complex:
@@ -166,14 +203,24 @@ def cwt(
             freq = np.fft.fftfreq(fft_size)
             mult = np.where(freq > 0, 2.0, np.where(freq == 0, 1.0, 0.0))
             spec_x = spec_x * jnp.asarray(mult, dtype=complex_dtype)
-        bank_spec = np.conj(np.fft.fft(bank, axis=-1))
-        prod = spec_x[..., None, :] * jnp.asarray(bank_spec, dtype=complex_dtype)
+        if big:
+            bank_spec = _device_bank_spec(w, scales, fft_size, False, complex_dtype)
+        else:
+            bank_spec = jnp.asarray(
+                np.conj(np.fft.fft(bank, axis=-1)), dtype=complex_dtype
+            )
+        prod = spec_x[..., None, :] * bank_spec
         out = jnp.fft.ifft(prod, axis=-1)[..., :n]
         return CWTResult(out, scales, boundary)
 
     spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
-    bank_spec = np.conj(np.fft.rfft(bank.real, axis=-1))
-    prod = spec_x[..., None, :] * jnp.asarray(bank_spec, dtype=complex_dtype)
+    if big:
+        bank_spec = _device_bank_spec(w, scales, fft_size, True, complex_dtype)
+    else:
+        bank_spec = jnp.asarray(
+            np.conj(np.fft.rfft(bank.real, axis=-1)), dtype=complex_dtype
+        )
+    prod = spec_x[..., None, :] * bank_spec
     out = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
     return CWTResult(out.astype(real_dtype), scales, boundary)
 
