@@ -16,11 +16,8 @@ sharded over a second mesh axis by the caller (it is a plain array axis).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import ErrorCode, InvalidArgumentError

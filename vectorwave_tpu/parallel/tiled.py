@@ -25,8 +25,6 @@ per-level halos of (L0-1)*2^(j-1) samples — e.g. 224 samples/boundary for a
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -87,19 +85,6 @@ def _mirror_tail(x: jnp.ndarray, length: int) -> jnp.ndarray:
     return jnp.concatenate(tiles[::-1], axis=-1)[..., -length:]
 
 
-def _mirror_head(x: jnp.ndarray, length: int) -> jnp.ndarray:
-    """Half-point mirror of the TAIL of x, as a right extension."""
-    n = x.shape[-1]
-    reps = -(-length // n)
-    tiles = []
-    flip = True
-    src = x
-    for _ in range(reps):
-        tiles.append(jnp.flip(src, axis=-1) if flip else src)
-        flip = not flip
-    return jnp.concatenate(tiles, axis=-1)[..., :length]
-
-
 def modwt_multilevel_tiled(
     x: jnp.ndarray,
     wavelet,
@@ -151,12 +136,11 @@ def modwt_multilevel_tiled(
         return tuple(details), cur
 
     spec = P(*([None] * (x.ndim - 1)), axis)
-    shard_spec = spec
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(shard_spec,),
-        out_specs=(tuple(shard_spec for _ in range(levels)), shard_spec),
+        in_specs=(spec,),
+        out_specs=(tuple(spec for _ in range(levels)), spec),
     )
     x = jax.device_put(x, NamedSharding(mesh, spec))
     details, approx = fn(x)

@@ -26,7 +26,6 @@ import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..errors import ErrorCode, InvalidArgumentError
 from ..ops.convolve import atrous_analysis_pair, effective_length
