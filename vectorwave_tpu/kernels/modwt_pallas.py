@@ -152,6 +152,98 @@ def _fused_analysis_call(
     return tuple(outs)
 
 
+def _run_analysis(x, levels, filters, periodic, tile, interpret):
+    """Extend left + run the analysis kernel (2-D [B, N] input)."""
+    b, n = x.shape
+    filter_length = len(filters[0])
+    halo_pad = _round_up(max(total_halo(filter_length, levels), 1), 128)
+    tile = _auto_tile(b, n, levels, tile, halo_pad, x.dtype.itemsize)
+    if periodic:
+        reps = -(-halo_pad // n)
+        left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
+    else:
+        left = jnp.zeros((b, halo_pad), dtype=x.dtype)
+    x_ext = jnp.concatenate([left, x], axis=-1)
+    return _fused_analysis_call(
+        x_ext,
+        levels=levels,
+        filters=filters,
+        tile=tile,
+        halo_pad=halo_pad,
+        interpret=interpret,
+    )
+
+
+def _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret):
+    """Extend right + run the synthesis kernel (tuple of 2-D planes)."""
+    b, n = coeff_planes[0].shape
+    filter_length = len(filters[0])
+    halo_pad = _round_up(max(total_halo(filter_length, levels), 1), 128)
+    tile = _auto_tile(b, n, levels, tile, halo_pad, coeff_planes[0].dtype.itemsize)
+
+    def extend(plane):
+        if periodic:
+            reps = -(-halo_pad // n)
+            right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
+        else:
+            right = jnp.zeros((b, halo_pad), dtype=plane.dtype)
+        return jnp.concatenate([plane, right], axis=-1)
+
+    return _fused_synthesis_call(
+        tuple(extend(p) for p in coeff_planes),
+        levels=levels,
+        filters=filters,
+        tile=tile,
+        halo_pad=halo_pad,
+        interpret=interpret,
+    )
+
+
+# The analysis map A and synthesis map S are linear; for PERIODIC and ZERO
+# boundaries the synthesis STRUCTURE with the analysis filters is exactly
+# A^T (each level's (t+l) correlation is the transpose of the (t-l)
+# convolution circulant), so the VJPs run the opposite kernel with the
+# forward map's own filters — one fused kernel pass per gradient, making the
+# Pallas tier fully differentiable (including biorthogonal wavelets, where
+# dec and rec filters differ).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _analysis_core(x, levels, filters, periodic, tile, interpret):
+    return _run_analysis(x, levels, filters, periodic, tile, interpret)
+
+
+def _analysis_core_fwd(x, levels, filters, periodic, tile, interpret):
+    return _run_analysis(x, levels, filters, periodic, tile, interpret), None
+
+
+def _analysis_core_bwd(levels, filters, periodic, tile, interpret, _, cotangents):
+    grad_x = _run_synthesis(
+        tuple(cotangents), levels, filters, periodic, tile, interpret
+    )
+    return (grad_x,)
+
+
+_analysis_core.defvjp(_analysis_core_fwd, _analysis_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _synthesis_core(coeff_planes, levels, filters, periodic, tile, interpret):
+    return _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret)
+
+
+def _synthesis_core_fwd(coeff_planes, levels, filters, periodic, tile, interpret):
+    return _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret), None
+
+
+def _synthesis_core_bwd(levels, filters, periodic, tile, interpret, _, cotangent):
+    grads = _run_analysis(cotangent, levels, filters, periodic, tile, interpret)
+    return (tuple(grads),)
+
+
+_synthesis_core.defvjp(_synthesis_core_fwd, _synthesis_core_bwd)
+
+
 def fused_analysis(
     x: jnp.ndarray,
     wavelet,
@@ -166,7 +258,7 @@ def fused_analysis(
     ``x``: [B, N] (or [N]); periodic or zero boundaries (symmetric needs a
     per-level mirror of the evolving approximation — use the jnp path).
     Results are fp32-equivalent to ``modwt_multilevel`` (summation-order
-    rounding only).
+    rounding only).  Differentiable: the VJP is one fused synthesis pass.
     """
     from ..transforms.modwt import _resolve_discrete
 
@@ -183,22 +275,13 @@ def fused_analysis(
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
-    b, n = x.shape
-    halo_pad = _round_up(max(total_halo(w.filter_length, levels), 1), 128)
-    tile = _auto_tile(b, n, levels, tile, halo_pad, x.dtype.itemsize)
-    if boundary_l.startswith("per"):
-        reps = -(-halo_pad // n)
-        left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
-    else:
-        left = jnp.zeros((b, halo_pad), dtype=x.dtype)
-    x_ext = jnp.concatenate([left, x], axis=-1)
-    outs = _fused_analysis_call(
-        x_ext,
-        levels=levels,
-        filters=_kernel_filters(w, synthesis=False),
-        tile=tile,
-        halo_pad=halo_pad,
-        interpret=interpret,
+    outs = _analysis_core(
+        x,
+        levels,
+        _kernel_filters(w, synthesis=False),
+        boundary_l.startswith("per"),
+        tile,
+        interpret,
     )
     details = outs[:levels]
     approx = outs[levels]
@@ -305,26 +388,13 @@ def fused_synthesis(
     if squeeze:
         details = tuple(d[None, :] for d in details)
         approx = approx[None, :]
-    b, n = approx.shape
-    halo_pad = _round_up(max(total_halo(w.filter_length, levels), 1), 128)
-    tile = _auto_tile(b, n, levels, tile, halo_pad, approx.dtype.itemsize)
-    periodic = boundary.lower().startswith("per")
-
-    def extend(plane: jnp.ndarray) -> jnp.ndarray:
-        if periodic:
-            reps = -(-halo_pad // n)
-            right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
-        else:
-            right = jnp.zeros((b, halo_pad), dtype=plane.dtype)
-        return jnp.concatenate([plane, right], axis=-1)
-
-    out = _fused_synthesis_call(
-        tuple(extend(p) for p in list(details) + [approx]),
-        levels=levels,
-        filters=_kernel_filters(w, synthesis=True),
-        tile=tile,
-        halo_pad=halo_pad,
-        interpret=interpret,
+    out = _synthesis_core(
+        tuple(details) + (approx,),
+        levels,
+        _kernel_filters(w, synthesis=True),
+        boundary.lower().startswith("per"),
+        tile,
+        interpret,
     )
     if squeeze:
         out = out[0]
