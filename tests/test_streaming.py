@@ -140,3 +140,21 @@ def test_streaming_denoiser_fixed_sigma():
         streaming_denoise_block(state, x, "haar", noise_estimation="fixed")
     with pytest.raises(vw.InvalidArgumentError):
         streaming_denoise_block(state, x, "haar", noise_estimation="bogus")
+
+
+def test_streaming_transform_class():
+    """Reference-like stateful wrapper (MODWTStreamingTransform ergonomics)."""
+    from vectorwave_tpu.streaming import StreamingTransform
+
+    n = 512
+    x = composite_sin(n, noise_std=0.2)
+    st = StreamingTransform("db4", levels=3, dtype=jnp.float64)
+    outs = [st.process(x[i : i + 128]) for i in range(0, n, 128)]
+    whole = vw.modwt_multilevel(jnp.asarray(x), "db4", levels=3, boundary="zero")
+    streamed = np.concatenate([np.asarray(o.details[0]) for o in outs], axis=-1)
+    np.testing.assert_allclose(streamed, np.asarray(whole.details[0]), atol=1e-12)
+    assert st.statistics == {"samples_processed": 512, "blocks_processed": 4}
+    tail = st.flush()
+    assert tail.approx.shape[-1] > 0
+    st.reset()
+    assert st.statistics["blocks_processed"] == 0

@@ -1,5 +1,6 @@
 from .stream import (
     StreamingState,
+    StreamingTransform,
     modwt_stream_block,
     modwt_stream_flush,
     streaming_init,
@@ -14,6 +15,7 @@ from .denoiser_stream import (
 
 __all__ = [
     "StreamingState",
+    "StreamingTransform",
     "streaming_init",
     "modwt_stream_block",
     "modwt_stream_flush",

@@ -165,3 +165,68 @@ def modwt_stream_flush(
     batch_shape = state.histories[0].shape[:-1]
     zeros = jnp.zeros(batch_shape + (tail_length,), dtype=state.histories[0].dtype)
     return modwt_stream_block(state, zeros, wavelet, boundary=boundary)
+
+
+class StreamingTransform:
+    """Convenience stateful wrapper with reference-like ergonomics
+    (``MODWTStreamingTransform`` / ``MultiLevelMODWTStreamingTransform``:
+    process/flush/reset plus running statistics).  Holds the functional carry
+    and a jitted per-block transition; the Flow.Publisher protocol becomes
+    ordinary return values (compose with any Python iterator/async pipeline).
+    """
+
+    def __init__(
+        self,
+        wavelet="db4",
+        *,
+        levels: int = 1,
+        boundary: str = "zero",
+        batch_shape: tuple[int, ...] = (),
+        dtype=jnp.float32,
+    ) -> None:
+        import jax
+
+        self.wavelet = _resolve_discrete(wavelet)
+        self.levels = levels
+        self.boundary = boundary
+        self._batch_shape = batch_shape
+        self._dtype = dtype
+        self.state = streaming_init(
+            self.wavelet, levels, batch_shape=batch_shape, dtype=dtype
+        )
+        self._step = jax.jit(
+            lambda st, blk: modwt_stream_block(st, blk, self.wavelet, boundary=boundary)
+        )
+        self.samples_processed = 0
+        self.blocks_processed = 0
+
+    def process(self, block) -> MultiLevelMODWTResult:
+        """Transform one block; returns its coefficients (``process``)."""
+        self.state, coeffs = self._step(self.state, jnp.asarray(block, dtype=self._dtype))
+        self.samples_processed += int(coeffs.approx.shape[-1])
+        self.blocks_processed += 1
+        return coeffs
+
+    def flush(self, tail_length: int | None = None) -> MultiLevelMODWTResult:
+        """Drain the carried history (``flush``)."""
+        self.state, coeffs = modwt_stream_flush(
+            self.state, self.wavelet, tail_length, boundary=self.boundary
+        )
+        self.blocks_processed += 1
+        return coeffs
+
+    def reset(self) -> None:
+        """Clear all history (``reset``)."""
+        self.state = streaming_init(
+            self.wavelet, self.levels, batch_shape=self._batch_shape, dtype=self._dtype
+        )
+        self.samples_processed = 0
+        self.blocks_processed = 0
+
+    @property
+    def statistics(self) -> dict:
+        """Samples/blocks counters (the LongAdder statistics analogue)."""
+        return {
+            "samples_processed": self.samples_processed,
+            "blocks_processed": self.blocks_processed,
+        }
