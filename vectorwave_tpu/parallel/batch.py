@@ -41,9 +41,15 @@ def modwt_multilevel_sharded_batch(
     with explicit output shardings so results stay distributed.
     """
     x = shard_batch(x, mesh, axis=axis)
+    # kernel-tier routing must follow the MESH's devices, not the default
+    # backend (e.g. a CPU validation mesh while a TPU is the default)
+    mesh_platform = next(iter(mesh.devices.flat)).platform
+    backend = None if mesh_platform == "tpu" else "jnp"
 
     @jax.jit
     def run(x):
-        return modwt_multilevel(x, wavelet, levels=levels, boundary=boundary)
+        return modwt_multilevel(
+            x, wavelet, levels=levels, boundary=boundary, backend=backend
+        )
 
     return run(x)
