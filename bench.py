@@ -24,7 +24,7 @@ BASELINE_MSAMPLES_PER_SEC = 21.5  # reference SIMD ext, 16K round-trip (README.m
 WAVELET = "db4"
 LEVELS = 6
 N = 65536
-BATCH = 32
+BATCH = 128
 
 
 def _roundtrip(x):
