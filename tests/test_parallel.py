@@ -67,13 +67,53 @@ def test_tiled_inverse_matches_single_device_zero(signal_mesh):
     np.testing.assert_array_equal(np.asarray(xr), np.asarray(single))
 
 
-def test_tiled_symmetric_inverse_rejected(signal_mesh):
-    x = jnp.asarray(composite_sin(512))
+@pytest.mark.parametrize("wavelet,levels", [("db4", 3), ("sym8", 2), ("haar", 4)])
+def test_tiled_symmetric_inverse_matches_single_device(signal_mesh, wavelet, levels):
+    """Tiled symmetric synthesis (two-sided tau-offset halos) must bit-match
+    the single-device alignment-table inverse."""
+    x = jnp.asarray(composite_sin(512, noise_std=0.2))
     res = modwt_multilevel_tiled(
-        x, "db4", levels=2, mesh=signal_mesh, boundary="symmetric"
+        x, wavelet, levels=levels, mesh=signal_mesh, boundary="symmetric"
     )
-    with pytest.raises(vw.InvalidArgumentError):
-        imodwt_multilevel_tiled(res, "db4", mesh=signal_mesh, boundary="symmetric")
+    xr = imodwt_multilevel_tiled(res, wavelet, mesh=signal_mesh, boundary="symmetric")
+    single = vw.imodwt_multilevel(
+        vw.modwt_multilevel(x, wavelet, levels=levels, boundary="symmetric"),
+        wavelet,
+        boundary="symmetric",
+    )
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(single), atol=1e-12)
+
+
+def test_tiled_symmetric_deep_halo_matches_single_device(signal_mesh):
+    """Halo wider than the shard (db4 level 5-6: halo 112/224 > 64): the
+    mirror must come from the gathered global head, not the local shard
+    (advisor round-1 finding — was 4.3e-1 max error)."""
+    x = jnp.asarray(composite_sin(512, noise_std=0.3))
+    for levels in (5, 6):
+        tiled = modwt_multilevel_tiled(
+            x, "db4", levels=levels, mesh=signal_mesh, boundary="symmetric"
+        )
+        single = vw.modwt_multilevel(x, "db4", levels=levels, boundary="symmetric")
+        for a, b in zip(tiled.details, single.details):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(tiled.approx), np.asarray(single.approx), atol=1e-12
+        )
+
+
+def test_tiled_symmetric_deep_halo_inverse(signal_mesh):
+    """Symmetric inverse with per-branch halos wider than the shard."""
+    x = jnp.asarray(composite_sin(512, noise_std=0.2))
+    res = modwt_multilevel_tiled(
+        x, "db4", levels=5, mesh=signal_mesh, boundary="symmetric"
+    )
+    xr = imodwt_multilevel_tiled(res, "db4", mesh=signal_mesh, boundary="symmetric")
+    single = vw.imodwt_multilevel(
+        vw.modwt_multilevel(x, "db4", levels=5, boundary="symmetric"),
+        "db4",
+        boundary="symmetric",
+    )
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(single), atol=1e-12)
 
 
 def test_tiled_uneven_shards_rejected(signal_mesh):

@@ -51,22 +51,24 @@ def _round_up(x: int, m: int) -> int:
 
 def _auto_tile(b: int, n: int, levels: int, requested: int, halo_pad: int,
                itemsize: int = 4) -> int:
-    """Largest power-of-two tile dividing n that fits the VMEM budget and is
-    at least as wide as the halo (the two-piece DMA needs halo_pad <= tile).
+    """Power-of-two tile width that fits the VMEM budget.
 
     Per tile sample the kernel holds ~2*(J+1) output buffers (double
-    buffered) plus ~5 working planes, all times the batch height.
+    buffered) plus ~5 working planes, all times the batch height.  The tile
+    no longer needs to divide N — the wrappers zero-pad the (already
+    halo-extended) input up to a tile multiple and slice the outputs back to
+    N, so arbitrary-N signals stay inside the budget.  The tile is kept at
+    least as wide as the halo so halo work stays a bounded fraction of each
+    grid step; if the halo alone exceeds the budget the halo width wins
+    (correctness over budget — the eligibility gate keeps such calls off
+    this path in auto routing).
     """
     budget = 10 * 1024 * 1024
     per_sample = b * (2 * (levels + 1) + 5) * itemsize
-    cap = max(128, budget // per_sample)
-    tile = min(requested, n, 1 << (cap.bit_length() - 1))
-    tile = max(tile, halo_pad)
-    while n % tile != 0 and tile < n:
-        tile *= 2
-    if n % tile != 0:
-        tile = n
-    return tile
+    cap = max(256, budget // per_sample)
+    tile = min(requested, 1 << (cap.bit_length() - 1))
+    tile = max(tile, halo_pad, 256)
+    return min(tile, _round_up(n, 128))
 
 
 def _kernel_filters(w, synthesis: bool) -> tuple[tuple[float, ...], tuple[float, ...]]:
@@ -153,18 +155,27 @@ def _fused_analysis_call(
 
 
 def _run_analysis(x, levels, filters, periodic, tile, interpret):
-    """Extend left + run the analysis kernel (2-D [B, N] input)."""
+    """Extend left + run the analysis kernel (2-D [B, N] input).
+
+    Arbitrary N: the extended input is zero-padded on the right up to a tile
+    multiple; analysis output t only reads positions <= t, so the padding is
+    never seen by the first N (kept) outputs.
+    """
     b, n = x.shape
     filter_length = len(filters[0])
     halo_pad = _round_up(max(total_halo(filter_length, levels), 1), 128)
     tile = _auto_tile(b, n, levels, tile, halo_pad, x.dtype.itemsize)
+    n_pad = _round_up(n, tile)
     if periodic:
         reps = -(-halo_pad // n)
         left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
     else:
         left = jnp.zeros((b, halo_pad), dtype=x.dtype)
-    x_ext = jnp.concatenate([left, x], axis=-1)
-    return _fused_analysis_call(
+    pieces = [left, x]
+    if n_pad != n:
+        pieces.append(jnp.zeros((b, n_pad - n), dtype=x.dtype))
+    x_ext = jnp.concatenate(pieces, axis=-1)
+    outs = _fused_analysis_call(
         x_ext,
         levels=levels,
         filters=filters,
@@ -172,14 +183,23 @@ def _run_analysis(x, levels, filters, periodic, tile, interpret):
         halo_pad=halo_pad,
         interpret=interpret,
     )
+    if n_pad != n:
+        outs = tuple(o[..., :n] for o in outs)
+    return outs
 
 
 def _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret):
-    """Extend right + run the synthesis kernel (tuple of 2-D planes)."""
+    """Extend right + run the synthesis kernel (tuple of 2-D planes).
+
+    Arbitrary N: planes become [plane, halo, zeros-to-tile-multiple]; output
+    t only reads positions in [t, t + halo], so kept outputs (< N) never see
+    the zero padding.
+    """
     b, n = coeff_planes[0].shape
     filter_length = len(filters[0])
     halo_pad = _round_up(max(total_halo(filter_length, levels), 1), 128)
     tile = _auto_tile(b, n, levels, tile, halo_pad, coeff_planes[0].dtype.itemsize)
+    n_pad = _round_up(n, tile)
 
     def extend(plane):
         if periodic:
@@ -187,9 +207,12 @@ def _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret):
             right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
         else:
             right = jnp.zeros((b, halo_pad), dtype=plane.dtype)
-        return jnp.concatenate([plane, right], axis=-1)
+        pieces = [plane, right]
+        if n_pad != n:
+            pieces.append(jnp.zeros((b, n_pad - n), dtype=plane.dtype))
+        return jnp.concatenate(pieces, axis=-1)
 
-    return _fused_synthesis_call(
+    out = _fused_synthesis_call(
         tuple(extend(p) for p in coeff_planes),
         levels=levels,
         filters=filters,
@@ -197,6 +220,9 @@ def _run_synthesis(coeff_planes, levels, filters, periodic, tile, interpret):
         halo_pad=halo_pad,
         interpret=interpret,
     )
+    if n_pad != n:
+        out = out[..., :n]
+    return out
 
 
 # The analysis map A and synthesis map S are linear; for PERIODIC and ZERO
@@ -383,6 +409,15 @@ def fused_synthesis(
     from ..transforms.modwt import _resolve_discrete
 
     w = _resolve_discrete(wavelet)
+    boundary_l = boundary.lower()
+    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+            "Fused Pallas synthesis supports periodic/zero boundaries",
+            suggestions=("Use imodwt_multilevel() for symmetric boundaries",),
+        )
     levels = len(details)
     squeeze = approx.ndim == 1
     if squeeze:
@@ -392,7 +427,7 @@ def fused_synthesis(
         tuple(details) + (approx,),
         levels,
         _kernel_filters(w, synthesis=True),
-        boundary.lower().startswith("per"),
+        boundary_l.startswith("per"),
         tile,
         interpret,
     )

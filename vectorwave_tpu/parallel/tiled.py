@@ -32,7 +32,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..errors import ErrorCode, InvalidArgumentError
 from ..ops.convolve import atrous_analysis_pair, atrous_convolve, effective_length
 from ..transforms.modwt import _resolve_discrete
-from ..transforms.multilevel import MultiLevelMODWTResult, _check_level_fits
+from ..transforms.multilevel import (
+    MultiLevelMODWTResult,
+    _check_level_fits,
+    _symmetric_alignment,
+    _tau_j,
+)
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
@@ -123,6 +128,23 @@ def modwt_multilevel_tiled(
             spacing = 1 << (level - 1)
             halo_len = effective_length(w.filter_length, level) - 1
             n_loc = cur.shape[-1]
+            if boundary_l.startswith("sym") and halo_len > n_loc:
+                # Deep-halo symmetric: the mirror of the global head spans
+                # multiple shards, so neither shard 0's local mirror nor the
+                # interior shards' zero-filled hop chains are correct.  The
+                # shards are by definition narrower than the filter support
+                # here, so an all_gather is cheap — run the exact
+                # single-device op on the gathered signal and slice back.
+                full = jax.lax.all_gather(cur, axis, axis=-1, tiled=True)
+                a_full, d_full = atrous_analysis_pair(
+                    full, low, high, spacing=spacing, boundary="symmetric"
+                )
+                start = idx * n_loc
+                details.append(
+                    jax.lax.dynamic_slice_in_dim(d_full, start, n_loc, axis=-1)
+                )
+                cur = jax.lax.dynamic_slice_in_dim(a_full, start, n_loc, axis=-1)
+                continue
             halo = _gather_halo(cur, halo_len, axis, from_left, "left")
             if boundary_l.startswith("sym"):
                 mirror = _mirror_tail(cur, halo_len)
@@ -155,35 +177,88 @@ def imodwt_multilevel_tiled(
     axis: str = "signal",
     boundary: str = "periodic",
 ) -> jnp.ndarray:
-    """Inverse of :func:`modwt_multilevel_tiled` (periodic / zero boundaries).
+    """Inverse of :func:`modwt_multilevel_tiled`, all three boundary modes.
 
-    Synthesis uses the adjoint ``(t + 2^(j-1) l)`` indexing, so halos come
-    from the RIGHT ring neighbors.  SYMMETRIC's alignment-shifted inverse
-    needs two-sided, tau-offset halos — gather to one device for that mode.
+    PERIODIC/ZERO synthesis uses the adjoint ``(t + 2^(j-1) l)`` indexing, so
+    halos come from the RIGHT ring neighbors.  SYMMETRIC's alignment-shifted
+    inverse (``MultiLevelMODWTTransform.java:602-642`` semantics) reads
+    ``t + sign*2^(j-1)*l + offset`` with per-level tau offsets, so it needs
+    TWO-SIDED halos; the global mirror only affects the first/last shard,
+    whose halos are rebuilt from their own edge data.  When a halo exceeds
+    the shard width (shards narrower than the filter support) the level
+    falls back to an exact all_gather — cheap by definition in that regime.
     """
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
-    if boundary_l.startswith("sym"):
-        raise InvalidArgumentError(
-            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
-            "Tiled symmetric inverse is not supported",
-            suggestions=(
-                "Use boundary='periodic' (exact) or reconstruct on one device",
-            ),
-        )
+    symmetric = boundary_l.startswith("sym")
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     wrap = boundary_l.startswith("per")
-    _, from_right = _ring_perms(axis, mesh, wrap)
+    from_left, from_right = _ring_perms(axis, mesh, wrap)
     levels = result.levels
+    size = mesh.shape[axis]
+
+    def _two_sided_conv(plane, filt, spacing, sign, offset, idx):
+        """One symmetric synthesis branch on a shard: gather two-sided halos,
+        mirror-fix the global edges, convolve with the tau-offset indexing."""
+        n_loc = plane.shape[-1]
+        n_taps = filt.shape[0]
+        deltas = [offset + sign * spacing * k for k in range(n_taps)]
+        lh = max(0, -min(deltas))
+        rh = max(0, max(deltas))
+        if lh > n_loc or rh > n_loc:
+            full = jax.lax.all_gather(plane, axis, axis=-1, tiled=True)
+            out_full = atrous_convolve(
+                full, filt, spacing=spacing, boundary="symmetric",
+                sign=sign, offset=offset,
+            )
+            return jax.lax.dynamic_slice_in_dim(
+                out_full, idx * n_loc, n_loc, axis=-1
+            )
+        pieces = []
+        if lh:
+            left = _gather_halo(plane, lh, axis, from_left, "left")
+            # global head mirror: position -p-1 (p in 1..lh) -> plane[p-1]
+            mirror_l = jnp.flip(plane[..., :lh], axis=-1)
+            pieces.append(jnp.where(idx == 0, mirror_l, left))
+        pieces.append(plane)
+        if rh:
+            right = _gather_halo(plane, rh, axis, from_right, "right")
+            # global tail mirror: position N+q -> plane[n_loc-1-q]
+            mirror_r = jnp.flip(plane[..., -rh:], axis=-1)
+            pieces.append(jnp.where(idx == size - 1, mirror_r, right))
+        ext = jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else plane
+        out = atrous_convolve(
+            ext, filt, spacing=spacing, boundary="zero", sign=sign, offset=offset
+        )
+        return out[..., lh : lh + n_loc]
 
     def shard_fn(details, approx):
+        idx = jax.lax.axis_index(axis)
         cur = approx
         for level in range(levels, 0, -1):
             spacing = 1 << (level - 1)
             halo_len = effective_length(w.filter_length, level) - 1
             n_loc = cur.shape[-1]
             detail = details[level - 1]
+            if symmetric:
+                dec = _symmetric_alignment(w, level)
+                tau_h = _tau_j(w.rec_lo.shape[0], level) + dec.delta_approx
+                tau_g = _tau_j(w.rec_hi.shape[0], level) + dec.delta_detail
+                rec_a = _two_sided_conv(
+                    cur, low, spacing,
+                    +1 if dec.approx_plus else -1,
+                    -tau_h if dec.approx_plus else tau_h,
+                    idx,
+                )
+                rec_d = _two_sided_conv(
+                    detail, high, spacing,
+                    +1 if dec.detail_plus else -1,
+                    -tau_g if dec.detail_plus else tau_g,
+                    idx,
+                )
+                cur = rec_a + rec_d
+                continue
             cur_halo = _gather_halo(cur, halo_len, axis, from_right, "right")
             det_halo = _gather_halo(detail, halo_len, axis, from_right, "right")
             cur_ext = jnp.concatenate([cur, cur_halo], axis=-1)

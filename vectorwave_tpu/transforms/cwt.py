@@ -491,4 +491,4 @@ def select_scales_signal_adaptive(
     freq_samples = np.clip(freq_samples, freqs[1], freqs[-1])
     w = _resolve_continuous(wavelet)
     scales = np.unique(w.center_frequency / (freq_samples * dt))
-    return tuple(np.sort(scales)[::-1][::-1].tolist())
+    return tuple(scales.tolist())  # np.unique is ascending, like the other selectors

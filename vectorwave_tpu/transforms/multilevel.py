@@ -105,6 +105,30 @@ def _check_level_fits(w: DiscreteWavelet, level: int, n: int) -> None:
         )
 
 
+_VALID_BACKENDS = (None, "auto", "jnp", "pallas")
+
+
+def _resolve_backend(backend: str | None, eligible) -> bool:
+    """Map the ``backend`` argument to a use-Pallas decision.
+
+    ``None``/``'auto'`` routes by eligibility; ``'jnp'`` forces the portable
+    path (the reference's forceScalar analogue, TransformConfig.java:54);
+    ``'pallas'`` forces the fused kernels; anything else raises.
+    ``eligible`` is a thunk so 'jnp'/'pallas' skip the probe entirely.
+    """
+    if backend not in _VALID_BACKENDS:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown backend {backend!r}",
+            suggestions=("Use one of 'auto', 'jnp', 'pallas' (or None)",),
+        )
+    if backend == "pallas":
+        return True
+    if backend == "jnp":
+        return False
+    return eligible()
+
+
 def _pallas_eligible(x: jnp.ndarray, w: DiscreteWavelet, levels: int, boundary: str) -> bool:
     """Whether the fused Pallas path can serve this call (TPU backend, f32/bf16,
     periodic/zero boundary, filter halo fits the tile budget)."""
@@ -157,12 +181,10 @@ def modwt_multilevel(
         )
     _check_level_fits(w, levels, n)
 
-    use_pallas = (
-        backend != "jnp"
-        if backend is not None
-        else _pallas_eligible(x, w, levels, boundary)
+    use_pallas = _resolve_backend(
+        backend, lambda: _pallas_eligible(x, w, levels, boundary)
     )
-    if backend == "pallas" or (backend is None and use_pallas):
+    if use_pallas:
         from ..kernels.modwt_pallas import fused_analysis
 
         batch_shape = x.shape[:-1]
@@ -288,12 +310,11 @@ def imodwt_multilevel(
     :func:`modwt_multilevel`.
     """
     w = _resolve_discrete(wavelet)
-    use_pallas = (
-        backend != "jnp"
-        if backend is not None
-        else _pallas_eligible(result.approx, w, result.levels, boundary)
+    use_pallas = _resolve_backend(
+        backend,
+        lambda: _pallas_eligible(result.approx, w, result.levels, boundary),
     )
-    if backend == "pallas" or (backend is None and use_pallas):
+    if use_pallas:
         from ..kernels.modwt_pallas import fused_synthesis
 
         n = result.approx.shape[-1]
