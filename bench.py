@@ -2,43 +2,67 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Baseline (BASELINE.md): the reference's SIMD extensions do a 16K MODWT
-round-trip in 0.76 ms ~= 21.5 Msamples/s on a 24-core AVX-512 CPU; the scalar
-core does ~5.8 Msamples/s.  vs_baseline is measured against the SIMD figure.
-Config #2 of BASELINE.json: db4, 6 levels, 65536 samples, PERIODIC.
+Headline config (#2 of BASELINE.json): db4, 6 levels, 65536 samples, batch
+128, PERIODIC, through the composite-filter MXU kernel at the default
+precision (bf16_3x ~ 1e-5 relative).  Extras report the fast (bf16) and
+f32-exact modes, the measured HBM bandwidth, and %-of-measured-roofline
+(round trip moves 68 B/sample: x in, 7 planes out, 7 planes in, x_hat out +
+re-read of x for the RMSE check amortized away).
+
+vs_baseline compares against the reference's CPU SIMD extensions
+(BASELINE.md: 16K round-trip in 0.76 ms ~ 21.5 Msamples/s on a 24-core
+AVX-512 CPU).
+
+Timing discipline (axon-tunneled chip): one jit dispatch costs ~30 ms, so
+iterate ON-DEVICE via lax.fori_loop with enough iterations that the fixed
+overhead is <2%, then read back a tiny slice.  (Round-1 bench used 20
+iterations and under-reported throughput ~4x.)
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-import vectorwave_tpu as vw
-
-BASELINE_MSAMPLES_PER_SEC = 21.5  # reference SIMD ext, 16K round-trip (README.md:329)
+BASELINE_MSAMPLES_PER_SEC = 21.5  # reference SIMD ext (README.md:329)
 
 WAVELET = "db4"
 LEVELS = 6
 N = 65536
 BATCH = 128
+ITERS = 150
+ROUNDTRIP_BYTES_PER_SAMPLE = 68
 
 
-def _roundtrip(x):
-    res = vw.modwt_multilevel(x, WAVELET, levels=LEVELS, boundary="periodic")
-    return vw.imodwt_multilevel(res, WAVELET, boundary="periodic")
+def _measure(fn, x, iters=ITERS, reps=3):
+    @jax.jit
+    def repeat(y):
+        return jax.lax.fori_loop(0, iters, lambda _, z: fn(z), y)
+
+    out = repeat(x)
+    np.asarray(out[0, :8])  # compile + warm + readback path
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = repeat(x)
+        np.asarray(out[0, :8])
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / iters
 
 
 def main() -> None:
-    import os
-
     cache_dir = os.path.expanduser("~/.cache/vectorwave_tpu_jax")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import vectorwave_tpu as vw
 
     device = jax.devices()[0]
     on_tpu = device.platform != "cpu"
@@ -49,43 +73,68 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((BATCH, N)), dtype=dtype)
 
-    import sys
+    def make_roundtrip(precision):
+        def rt(y):
+            res = vw.modwt_multilevel(y, WAVELET, levels=LEVELS, boundary="periodic")
+            return vw.imodwt_multilevel(res, WAVELET, boundary="periodic")
+
+        def wrapped(y):
+            vw.set_fused_precision(precision)
+            try:
+                return rt(y)
+            finally:
+                vw.set_fused_precision("bf16_3x")
+
+        return wrapped
 
     print(f"bench: compiling on {device.device_kind} ...", file=sys.stderr, flush=True)
-    fn = jax.jit(_roundtrip)
-    xr = fn(x)
-    xr.block_until_ready()  # compile + warm-up
-    print("bench: compiled; timing ...", file=sys.stderr, flush=True)
 
-    # Accuracy check on the same config (round-trip RMSE)
-    rmse = float(jnp.sqrt(jnp.mean((x - xr) ** 2)))
+    extras = {}
+    rates = {}
+    modes = ("bf16_3x", "bf16", "float32") if on_tpu else ("float32",)
+    for precision in modes:
+        fn = make_roundtrip(precision)
+        t = _measure(fn, x, iters=ITERS if on_tpu else 3)
+        rmse = float(jnp.sqrt(jnp.mean((jax.jit(fn)(x) - x) ** 2)))
+        rates[precision] = BATCH * N / t / 1e6
+        extras[f"{precision}_msamples"] = round(rates[precision], 1)
+        extras[f"{precision}_rmse"] = rmse
+        print(f"bench: {precision}: {rates[precision]:.0f} Msamples/s "
+              f"rmse {rmse:.2e}", file=sys.stderr, flush=True)
 
-    # Timed runs: iterate ON-DEVICE inside one jit (fori_loop carries the
-    # output back as input), so a single dispatch covers all iterations and
-    # the measurement is immune to async-dispatch / remote-runtime quirks.
-    n_iters = 20
+    if on_tpu:
+        # measured HBM bandwidth -> roofline context
+        nbig = 64 * 1024 * 1024
+        big = jnp.ones((nbig,), jnp.float32)
 
-    @jax.jit
-    def repeat(x):
-        return jax.lax.fori_loop(0, n_iters, lambda _, y: _roundtrip(y), x)
+        @jax.jit
+        def bw_chain(v):
+            return jax.lax.fori_loop(0, 100, lambda _, y: y * 1.0000001, v)
 
-    warm = repeat(x)
-    np.asarray(warm[0, :8])  # compile + warm-up + readback path
-    start = time.perf_counter()
-    out = repeat(x)
-    np.asarray(out[0, :8])
-    elapsed = time.perf_counter() - start
+        np.asarray(bw_chain(big)[:4])
+        bw_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(bw_chain(big)[:4])
+            bw_times.append(time.perf_counter() - t0)
+        bw = 100 * 2 * nbig * 4 / float(np.median(bw_times)) / 1e9
+        extras["measured_hbm_gbps"] = round(bw, 1)
+        roofline = bw * 1e9 / ROUNDTRIP_BYTES_PER_SAMPLE / 1e6
+        extras["roofline_msamples"] = round(roofline, 1)
+        extras["pct_roofline_default"] = round(100 * rates["bf16_3x"] / roofline, 1)
+        extras["pct_roofline_fast"] = round(100 * rates["bf16"] / roofline, 1)
 
-    samples = BATCH * N * n_iters
-    msamples_per_sec = samples / elapsed / 1e6
-
+    headline = rates[modes[0]]
     result = {
         "metric": "modwt_db4_6level_roundtrip_throughput",
-        "value": round(msamples_per_sec, 3),
+        "value": round(headline, 1),
         "unit": "Msamples/sec/chip",
-        "vs_baseline": round(msamples_per_sec / BASELINE_MSAMPLES_PER_SEC, 3),
-        "roundtrip_rmse": rmse,
-        "config": f"{WAVELET} {LEVELS}-level {BATCH}x{N} {str(dtype.dtype)} on {device.device_kind}",
+        "vs_baseline": round(headline / BASELINE_MSAMPLES_PER_SEC, 3),
+        "config": (
+            f"{WAVELET} {LEVELS}-level {BATCH}x{N} {jnp.dtype(dtype).name} "
+            f"on {device.device_kind}; fused MXU kernel, precision={modes[0]}"
+        ),
+        **extras,
     }
     print(json.dumps(result))
 

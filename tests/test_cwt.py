@@ -142,3 +142,53 @@ def test_discrete_wavelet_rejected_for_cwt():
         vw.cwt(jnp.zeros(64), (2.0,), "db4")
     with pytest.raises(vw.InvalidArgumentError):
         vw.cwt(jnp.zeros(64), (0.0,), "morl")
+
+
+def test_adaptive_scale_selector():
+    """AdaptiveScaleSelector port: config-driven selection (interface + config
+    builder, cwt/AdaptiveScaleSelector.java:15-271)."""
+    fs = 1000.0
+    t = np.arange(2048) / fs
+    x = np.sin(2 * np.pi * 50 * t) + 0.5 * np.sin(2 * np.pi * 120 * t)
+    cfg = vw.ScaleSelectionConfig(sampling_rate=fs)
+    scales = vw.select_scales_adaptive(x, "morl", cfg)
+    assert 1 <= len(scales) <= cfg.max_scales
+    assert list(scales) == sorted(scales)
+    lo, hi = vw.frequency_range_of_scales(scales, "morl", fs)
+    # the selected band must cover the signal's two tones
+    assert lo < 50 < hi and lo < 120 < hi
+
+
+def test_adaptive_selector_spacings_and_count():
+    fs = 100.0
+    x = np.sin(2 * np.pi * 10 * np.arange(512) / fs)
+    base = dict(sampling_rate=fs, min_frequency=2.0, max_frequency=40.0,
+                use_signal_adaptation=False)
+    log_s = vw.select_scales_adaptive(x, "morl", vw.ScaleSelectionConfig(**base))
+    lin_s = vw.select_scales_adaptive(
+        x, "morl", vw.ScaleSelectionConfig(**base, spacing="linear")
+    )
+    dy_s = vw.select_scales_adaptive(
+        x, "morl", vw.ScaleSelectionConfig(**base, spacing="dyadic")
+    )
+    # fixed range -> count from octaves * scales_per_octave
+    assert len(log_s) == vw.estimate_scale_count(2.0, 40.0, scales_per_octave=10)
+    # linear spacing has constant differences
+    diffs = np.diff(lin_s)
+    np.testing.assert_allclose(diffs, diffs[0], rtol=1e-9)
+    # dyadic scales are powers of two
+    assert all(abs(np.log2(s) - round(np.log2(s))) < 1e-12 for s in dy_s)
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.select_scales_adaptive(
+            x, "morl", vw.ScaleSelectionConfig(sampling_rate=fs, spacing="weird")
+        )
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.estimate_scale_count(10.0, 5.0)
+
+
+def test_adaptive_selector_max_scales_cap():
+    fs = 1000.0
+    x = np.random.default_rng(0).standard_normal(4096)
+    cfg = vw.ScaleSelectionConfig(sampling_rate=fs, max_scales=16)
+    scales = vw.select_scales_adaptive(x, "morl", cfg)
+    assert len(scales) <= 16

@@ -41,7 +41,8 @@ def test_pallas_analysis_vjp_matches_jnp():
     x = _x32((2, 1024))
 
     def loss_pallas(x):
-        d, a = fused_analysis(x, "db4", levels=4, interpret=True, tile=512)
+        d, a = fused_analysis(x, "db4", levels=4, interpret=True, tile=512,
+                              precision="float32")
         return sum((dd**2).sum() for dd in d) * 0.5 + 0.25 * (a**2).sum()
 
     def loss_jnp(x):
@@ -60,7 +61,8 @@ def test_pallas_synthesis_vjp_matches_jnp():
     res = vw.modwt_multilevel(x, "db4", levels=3, backend="jnp")
 
     def loss_syn(details, approx):
-        out = fused_synthesis(details, approx, "db4", interpret=True, tile=512)
+        out = fused_synthesis(details, approx, "db4", interpret=True, tile=512,
+                              precision="float32")
         return (out**2).sum()
 
     def loss_syn_jnp(details, approx):

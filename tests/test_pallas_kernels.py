@@ -26,7 +26,8 @@ def _x32(shape, seed=0):
 def test_fused_analysis_matches_jnp(name, levels, boundary):
     x = _x32((4, 2048))
     details, approx = fused_analysis(
-        x, name, levels=levels, boundary=boundary, tile=1024, interpret=True
+        x, name, levels=levels, boundary=boundary, tile=1024, interpret=True,
+        precision="float32",
     )
     ref = vw.modwt_multilevel(x, name, levels=levels, boundary=boundary, backend="jnp")
     for d, r in zip(details, ref.details):
@@ -38,10 +39,12 @@ def test_fused_analysis_matches_jnp(name, levels, boundary):
 def test_fused_roundtrip(boundary):
     x = _x32((2, 4096), seed=1)
     details, approx = fused_analysis(
-        x, "db4", levels=6, boundary=boundary, tile=2048, interpret=True
+        x, "db4", levels=6, boundary=boundary, tile=2048, interpret=True,
+        precision="float32",
     )
     xr = fused_synthesis(
-        details, approx, "db4", boundary=boundary, tile=2048, interpret=True
+        details, approx, "db4", boundary=boundary, tile=2048, interpret=True,
+        precision="float32",
     )
     assert float(jnp.max(jnp.abs(xr - x))) < 5e-6
 
@@ -50,7 +53,8 @@ def test_fused_synthesis_matches_jnp_inverse():
     x = _x32((2, 2048), seed=2)
     res = vw.modwt_multilevel(x, "db4", levels=4, backend="jnp")
     fused = fused_synthesis(
-        res.details, res.approx, "db4", boundary="periodic", tile=1024, interpret=True
+        res.details, res.approx, "db4", boundary="periodic", tile=1024,
+        interpret=True, precision="float32",
     )
     ref = vw.imodwt_multilevel(res, "db4", backend="jnp")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-6)
@@ -59,7 +63,8 @@ def test_fused_synthesis_matches_jnp_inverse():
 def test_fused_1d_input():
     x = _x32(1024, seed=3)
     details, approx = fused_analysis(
-        x, "haar", levels=3, boundary="periodic", tile=512, interpret=True
+        x, "haar", levels=3, boundary="periodic", tile=512, interpret=True,
+        precision="float32",
     )
     assert details[0].shape == (1024,)
     ref = vw.modwt_multilevel(x, "haar", levels=3, backend="jnp")
@@ -87,7 +92,8 @@ def test_fused_arbitrary_n(n):
     """Non-power-of-two N routes through pad-to-tile + output slicing."""
     x = _x32((2, n), seed=11)
     details, approx = fused_analysis(
-        x, "db4", levels=3, boundary="periodic", tile=1024, interpret=True
+        x, "db4", levels=3, boundary="periodic", tile=1024, interpret=True,
+        precision="float32",
     )
     assert approx.shape == (2, n)
     ref = vw.modwt_multilevel(x, "db4", levels=3, backend="jnp")
@@ -95,22 +101,24 @@ def test_fused_arbitrary_n(n):
         np.testing.assert_allclose(np.asarray(d), np.asarray(r), atol=2e-6)
     np.testing.assert_allclose(np.asarray(approx), np.asarray(ref.approx), atol=2e-6)
     xr = fused_synthesis(
-        details, approx, "db4", boundary="periodic", tile=1024, interpret=True
+        details, approx, "db4", boundary="periodic", tile=1024, interpret=True,
+        precision="float32",
     )
     assert xr.shape == (2, n)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-5)
 
 
-def test_auto_tile_respects_budget_for_non_pow2():
-    """Round-1 fix: the divisor loop used to blow the VMEM budget by doubling
-    the tile until it divided N (ultimately tile=N)."""
-    from vectorwave_tpu.kernels.modwt_pallas import _auto_tile
+def test_auto_tiles_respect_budget():
+    """Tile selection must fit the VMEM budget at any batch/length combo
+    (round-1's divisor loop could blow it for non-pow2 N)."""
+    from vectorwave_tpu.kernels.modwt_mxu import _auto_tiles
 
-    tile = _auto_tile(128, 1_000_000, 6, 8192, 448)
-    assert tile * 128 * (2 * 7 + 5) * 4 <= 32 * 1024 * 1024  # far under VMEM
-    assert tile >= 448
-    # tiny signals clamp to the rounded-up signal length (single padded tile)
-    assert _auto_tile(1, 300, 2, 8192, 128) == 384
+    for b, n_rows in ((128, 8192), (1, 8192), (16, 31), (7, 513)):
+        b_tile, tile_rows = _auto_tiles(b, 6, 8, n_rows, 512)
+        assert b % b_tile == 0
+        assert tile_rows % 8 == 0
+        per = b_tile * (tile_rows + 8) * 128 * 20 * 4
+        assert per <= 12 * 1024 * 1024
 
 
 def test_invalid_backend_param_rejected():
@@ -156,3 +164,32 @@ def test_explicit_jnp_backend_param():
     a = vw.modwt_multilevel(x, "db4", levels=3, backend="jnp")
     b = vw.modwt_multilevel(x, "db4", levels=3)  # auto -> jnp on CPU
     np.testing.assert_array_equal(np.asarray(a.approx), np.asarray(b.approx))
+
+
+
+@pytest.mark.parametrize("precision,tol", [("float32", 5e-6), ("bf16_3x", 2e-4)])
+def test_fused_precision_modes(precision, tol):
+    """Precision ladder: float32 ~ f32-exact; bf16_3x ~ 1e-5 relative (the
+    default; 1.7x faster on chip); bf16 coarser still (not CI-gated — the
+    interpreter does not emulate MXU bf16 rounding faithfully)."""
+    x = _x32((2, 2048), seed=21)
+    details, approx = fused_analysis(
+        x, "db4", levels=4, boundary="periodic", tile=1024, interpret=True,
+        precision=precision,
+    )
+    xr = fused_synthesis(
+        details, approx, "db4", boundary="periodic", tile=1024, interpret=True,
+        precision=precision,
+    )
+    assert float(jnp.max(jnp.abs(xr - x))) < tol
+
+
+def test_fused_precision_config_default():
+    assert vw.get_fused_precision() in ("float32", "bf16_3x", "bf16")
+    vw.set_fused_precision("float32")
+    try:
+        assert vw.get_fused_precision() == "float32"
+    finally:
+        vw.set_fused_precision("bf16_3x")
+    with pytest.raises(vw.InvalidConfigurationError):
+        vw.set_fused_precision("fp8")

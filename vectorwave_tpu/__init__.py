@@ -28,6 +28,15 @@ from .ops.thresholds import (
 )
 from .padding import STRATEGIES as PADDING_STRATEGIES
 from .padding import adaptive_strategy, pad_signal
+from .ops.dwt import (
+    DWTResult,
+    WavedecResult,
+    dwt,
+    idwt,
+    max_dwt_levels,
+    wavedec,
+    waverec,
+)
 from .transforms.modwt import MODWTResult, imodwt, modwt
 from .transforms.multilevel import (
     MAX_DECOMPOSITION_LEVELS,
@@ -38,7 +47,10 @@ from .transforms.multilevel import (
 )
 from .transforms.cwt import (
     CWTResult,
+    ScaleSelectionConfig,
     cwt,
+    estimate_scale_count,
+    frequency_range_of_scales,
     frequency_to_scale,
     icwt,
     reconstruct_band,
@@ -47,6 +59,7 @@ from .transforms.cwt import (
     scales_dyadic,
     scales_linear,
     scales_log,
+    select_scales_adaptive,
     select_scales_optimal,
     select_scales_signal_adaptive,
 )
@@ -82,7 +95,13 @@ from .wavelets.registry import (
 __version__ = "0.1.0"
 
 from . import cost_model, finance, kernels, observability, parallel, streaming
-from .config import TransformConfig, get_backend, set_backend
+from .config import (
+    TransformConfig,
+    get_backend,
+    get_fused_precision,
+    set_backend,
+    set_fused_precision,
+)
 from .ops.facade import get_performance_info
 from .transforms.cwt_modwt_inverse import modwt_based_icwt
 
@@ -93,6 +112,8 @@ __all__ = [
     "TransformConfig",
     "set_backend",
     "get_backend",
+    "set_fused_precision",
+    "get_fused_precision",
     "cost_model",
     "observability",
     "get_performance_info",
@@ -109,6 +130,10 @@ __all__ = [
     "scales_dyadic",
     "select_scales_optimal",
     "select_scales_signal_adaptive",
+    "select_scales_adaptive",
+    "ScaleSelectionConfig",
+    "estimate_scale_count",
+    "frequency_range_of_scales",
     "finance",
     "denoise",
     "denoise_fixed",
@@ -137,6 +162,13 @@ __all__ = [
     "InvalidConfigurationError",
     "InvalidSignalError",
     "InvalidStateError",
+    "DWTResult",
+    "WavedecResult",
+    "dwt",
+    "idwt",
+    "wavedec",
+    "waverec",
+    "max_dwt_levels",
     "MODWTResult",
     "MultiLevelMODWTResult",
     "MAX_DECOMPOSITION_LEVELS",

@@ -19,6 +19,14 @@ _VALID_BACKENDS = ("auto", "jnp", "pallas")
 
 _backend = os.environ.get("VECTORWAVE_TPU_BACKEND", "auto")
 
+#: matmul emulation depth of the fused MXU kernels (kernels/modwt_mxu.py):
+#: "float32" ~ f32-exact (6-pass), "bf16_3x" ~ 1e-5 relative (3-pass, 1.7x
+#: faster), "bf16" ~ 3e-3 relative (1-pass, 3x faster; the JAX-on-TPU default
+#: matmul precision).  Measured on chip in tools/perf_final.py.
+_VALID_PRECISIONS = ("float32", "bf16_3x", "bf16")
+
+_fused_precision = os.environ.get("VECTORWAVE_TPU_PRECISION", "bf16_3x")
+
 
 def set_backend(name: str) -> None:
     """Select the compute backend: ``auto`` (Pallas on TPU when eligible),
@@ -37,6 +45,24 @@ def set_backend(name: str) -> None:
 
 def get_backend() -> str:
     return _backend
+
+
+def set_fused_precision(name: str) -> None:
+    """Select the fused-kernel matmul precision: float32 / bf16_3x / bf16."""
+    if name not in _VALID_PRECISIONS:
+        from .errors import ErrorCode, InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown fused precision {name!r}",
+            suggestions=(f"Use one of {_VALID_PRECISIONS}",),
+        )
+    global _fused_precision
+    _fused_precision = name
+
+
+def get_fused_precision() -> str:
+    return _fused_precision
 
 
 @dataclasses.dataclass(frozen=True)

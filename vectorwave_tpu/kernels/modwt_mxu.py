@@ -1,0 +1,967 @@
+"""Fused multi-level MODWT kernels, MXU (banded-matmul) formulation.
+
+Round-2 rewrite of the hot cascade (reference hot loops:
+``/root/reference/vectorwave-extensions/.../modwt/BatchSIMDMODWT.java:383-508``).
+The round-1 kernel expressed each à trous tap as a ``pltpu.roll`` along the
+lane axis — 8 taps x 6 levels x 2 directions of VPU lane shuffles, which
+measured ~23% of the chip's *measured* HBM roofline.  This version maps the
+filtering onto the MXU instead:
+
+* The time axis is viewed as rows of 128 lanes: ``x[B, N] -> X[B*R, 128]``
+  with ``X[r, i] = x[r*128 + i]`` (a free row-major reshape).
+* The à trous convolution ``out[p] = sum_k f[k] x[p - s*k]`` becomes a BANDED
+  MATMUL: ``out_rows[r] = sum_e X[r + e] @ M_e`` where ``e`` ranges over the
+  few 128-row blocks the filter support spans and ``M_e[i', i] = sum_k f[k]
+  [i' == (i - s*k) mod 128, e == floor((i - s*k)/128)]`` are host-precomputed
+  constants.  Both filters share the shifted views: ``M_e`` is ``[128, 256]``
+  (low | high columns), so one matmul per block offset yields approx AND
+  detail.  Row shifts are cheap sublane rolls (<= a few per level) instead
+  of 8+ lane shuffles per tap.
+* The whole J-level cascade still runs on one VMEM-resident window per grid
+  step (HBM traffic = read x + write J+1 planes), with the halo row-quantized
+  per level: ``halo_rows = sum_j ceil((L0-1)*2^(j-1)/128)``.
+* Synthesis reads FORWARD (``p + s*k``), which would need near-full-wrap
+  negative row shifts; instead it runs in accumulated-shift coordinates
+  (``out'[r] = out[r - e_max]`` per level) so every roll is a small positive
+  sublane shift — structurally identical to analysis, final slice offset by
+  ``halo_rows``.  (Large wrap rolls faulted the TPU worker on this runtime.)
+* The grid tiles batch x time so VMEM stays within budget at any batch size
+  without degenerate (sub-8-row) time tiles.
+
+Precision: the MXU multiplies bf16; ``precision`` picks the f32-emulation
+depth per dot (``float32`` = Precision.HIGHEST ~ f32-exact, ``bf16_3x`` =
+a manual 3-pass split (~1e-5 relative), ``bf16`` = raw one-pass).
+Accuracy/throughput measured on chip in tools/perf_probe_mxu.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .modwt_pallas import _round_up
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+_LANES = 128
+
+PRECISIONS = ("float32", "bf16_3x", "bf16")
+
+
+def level_halo_rows(filter_length: int, level: int) -> int:
+    """Row-quantized halo consumed by level j: ceil((L0-1)*2^(j-1) / 128)."""
+    return -(-((filter_length - 1) * (1 << (level - 1))) // _LANES)
+
+
+def halo_rows_total(filter_length: int, levels: int) -> int:
+    return sum(level_halo_rows(filter_length, j) for j in range(1, levels + 1))
+
+
+def _band_matrices(
+    filt_low: np.ndarray,
+    filt_high: np.ndarray,
+    spacing: int,
+    sign: int,
+) -> dict[int, np.ndarray]:
+    """Band blocks for ``out[p] = sum_k f[k] x[p + sign*s*k]`` on 128-lane rows.
+
+    Returns {e: M_e[128, 256]} with out_rows[r] = sum_e X[r+e] @ M_e and the
+    low/high filter outputs in columns [0:128) / [128:256).
+    """
+    n_taps = len(filt_low)
+    blocks: dict[int, np.ndarray] = {}
+    for k in range(n_taps):
+        delta = sign * spacing * k
+        for i in range(_LANES):
+            src = i + delta
+            e = src // _LANES  # floor division
+            lane = src - e * _LANES
+            m = blocks.setdefault(e, np.zeros((_LANES, 2 * _LANES), dtype=np.float64))
+            m[lane, i] += filt_low[k]
+            m[lane, _LANES + i] += filt_high[k]
+    return blocks
+
+
+def _cascade_bands(
+    low: np.ndarray, high: np.ndarray, levels: int, sign: int
+) -> list[dict[int, np.ndarray]]:
+    return [
+        _band_matrices(low, high, 1 << (j - 1), sign) for j in range(1, levels + 1)
+    ]
+
+
+def _shift_rows(flat, shift: int):
+    """view[r] = flat[r - shift] for small positive sublane shifts (garbage
+    wrap rows land in invalid halo rows only; see validity accounting)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    if shift == 0:
+        return flat
+    assert shift > 0
+    return pltpu.roll(flat, shift, 0)
+
+
+def _dot(a, m, precision: str):
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "float32":
+        return jax.lax.dot_general(
+            a, m, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            a, m, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    if precision == "bf16_3x":
+        # manual 3-pass split: a = hi + lo (16-bit effective mantissa);
+        # drop the lo@lo term (~2^-24 relative)
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        m_hi = m.astype(jnp.bfloat16)
+        m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kw = {"preferred_element_type": jnp.float32}
+        return (
+            jax.lax.dot_general(a_hi, m_hi, dims, **kw)
+            + jax.lax.dot_general(a_hi, m_lo, dims, **kw)
+            + jax.lax.dot_general(a_lo, m_hi, dims, **kw)
+        )
+    raise ValueError(f"unknown precision {precision!r}; use one of {PRECISIONS}")
+
+
+#: experiment overrides (None = auto); see tools/perf_sweep_mxu.py
+_FORCE_B_TILE: int | None = None
+_FORCE_TILE_ROWS: int | None = None
+
+
+def _auto_tiles(b: int, levels: int, halo_rows: int, n_rows: int,
+                requested_rows: int, itemsize: int = 4) -> tuple[int, int]:
+    """(batch_tile, row_tile): fit the VMEM budget by shrinking the batch
+    tile first (then the row tile), keeping tiles 8-row aligned.
+
+    When the TOTAL output of the call is small (< ~14 MB), XLA may place the
+    result buffers themselves in VMEM (observed: S(1) layouts on the
+    custom-call results), and they then count against the same 16 MB scoped
+    limit as the kernel's own buffers — so that space is reserved out of the
+    budget here.
+    """
+    budget = 10 * 1024 * 1024
+    total_out = (levels + 1) * b * n_rows * _LANES * itemsize
+    if total_out < 14 * 1024 * 1024:
+        budget = max(2 * 1024 * 1024, budget - total_out)
+    tile_rows = max(8, min(_round_up(requested_rows, 8), _round_up(n_rows, 8)))
+    tile_rows = max(tile_rows, _round_up(halo_rows, 8))
+    min_rows = max(8, _round_up(halo_rows, 8))
+
+    def per_batch(tr):
+        return (tr + halo_rows) * _LANES * (2 * (levels + 1) + 6) * itemsize
+
+    while per_batch(tile_rows) > budget and tile_rows // 2 >= min_rows:
+        tile_rows //= 2
+        tile_rows = _round_up(tile_rows, 8)
+    if _FORCE_TILE_ROWS is not None:
+        tile_rows = _FORCE_TILE_ROWS
+    b_tile = max(1, min(b, budget // per_batch(tile_rows)))
+    if b_tile > 8:
+        b_tile = (b_tile // 8) * 8  # sublane-friendly batch tiles
+    while b % b_tile != 0:  # keep the batch grid exact
+        b_tile -= 1
+    if _FORCE_B_TILE is not None:
+        b_tile = _FORCE_B_TILE
+    return b_tile, tile_rows
+
+
+def _to_rows(x2d: jnp.ndarray) -> jnp.ndarray:
+    b, n = x2d.shape
+    return x2d.reshape(b, n // _LANES, _LANES)
+
+
+def _from_rows(x3d: jnp.ndarray) -> jnp.ndarray:
+    b, r, _ = x3d.shape
+    return x3d.reshape(b, r * _LANES)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
+        "interpret", "baked",
+    ),
+)
+def _mxu_analysis_call(
+    x: jnp.ndarray,  # [B, R_total, 128], left halo_rows prepended
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    precision: str,
+    interpret: bool,
+    baked: bool = True,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    bands = _cascade_bands(low, high, levels, sign=-1)
+    b, r_total, _ = x.shape
+    r_out = r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    grid = (b // b_tile, r_out // tile_rows)
+    dtype = x.dtype
+
+    band_np = [
+        [np.asarray(m, dtype=np.float32) for _, m in sorted(bands[j - 1].items())]
+        for j in range(1, levels + 1)
+    ]
+    band_consts = (
+        []
+        if baked
+        else [jnp.asarray(np.stack(ms), dtype=jnp.float32) for ms in band_np]
+    )
+    # analysis offsets e are <= 0; shift = -e is a small positive roll
+    band_shifts = [[-e for e in sorted(bands[j - 1].keys())] for j in range(1, levels + 1)]
+
+    def kernel(x_hbm, *rest):
+        if baked:
+            band_refs = [[jnp.asarray(m) for m in ms] for ms in band_np]
+            out_refs = rest[: levels + 1]
+        else:
+            band_refs = rest[:levels]
+            out_refs = rest[levels : levels + levels + 1]
+        scratch, sems = rest[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        copy = pltpu.make_async_copy(
+            x_hbm.at[
+                pl.ds(bi * b_tile, b_tile), pl.ds(t * tile_rows, window_rows), :
+            ],
+            scratch,
+            sems.at[0],
+        )
+        copy.start()
+        copy.wait()
+        cur = scratch[:].reshape(b_tile * window_rows, _LANES)
+        for level in range(1, levels + 1):
+            acc = None
+            for idx_e, shift in enumerate(band_shifts[level - 1]):
+                view = _shift_rows(cur, shift)
+                term = _dot(view, band_refs[level - 1][idx_e], precision)
+                acc = term if acc is None else acc + term
+            approx = acc[:, :_LANES].astype(dtype)
+            detail = acc[:, _LANES:].astype(dtype)
+            out_refs[level - 1][:] = detail.reshape(b_tile, window_rows, _LANES)[
+                :, halo_rows:, :
+            ]
+            cur = approx
+        out_refs[levels][:] = cur.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, r_out, _LANES), dtype) for _ in range(levels + 1)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(levels + 1)
+    ]
+    n_dots = sum(len(s) for s in band_shifts)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + ([] if baked else
+           [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)]),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_dots * b * r_out * _LANES * _LANES,
+            bytes_accessed=b * r_out * _LANES * (levels + 2) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, *band_consts)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
+        "interpret", "baked",
+    ),
+)
+def _mxu_synthesis_call(
+    coeffs: tuple[jnp.ndarray, ...],  # each [B, R_total, 128], right halo appended
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    precision: str,
+    interpret: bool,
+    baked: bool = True,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    bands = _cascade_bands(low, high, levels, sign=+1)
+    n_coeffs = levels + 1
+    b, r_total, _ = coeffs[0].shape
+    r_out = r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    grid = (b // b_tile, r_out // tile_rows)
+    dtype = coeffs[0].dtype
+
+    band_np = [
+        [np.asarray(m, dtype=np.float32) for _, m in sorted(bands[j - 1].items())]
+        for j in range(1, levels + 1)
+    ]
+    band_consts = (
+        []
+        if baked
+        else [jnp.asarray(np.stack(ms), dtype=jnp.float32) for ms in band_np]
+    )
+    band_offsets = [sorted(bands[j - 1].keys()) for j in range(1, levels + 1)]
+    e_maxes = [offs[-1] for offs in band_offsets]
+
+    def kernel(*refs):
+        coeff_hbm = refs[:n_coeffs]
+        if baked:
+            band_refs = [[jnp.asarray(m) for m in ms] for ms in band_np]
+            out_ref = refs[n_coeffs]
+        else:
+            band_refs = refs[n_coeffs : n_coeffs + levels]
+            out_ref = refs[n_coeffs + levels]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        copies = [
+            pltpu.make_async_copy(
+                coeff_hbm[i].at[
+                    pl.ds(bi * b_tile, b_tile),
+                    pl.ds(t * tile_rows, window_rows),
+                    :,
+                ],
+                scratch.at[i],
+                sems.at[i],
+            )
+            for i in range(n_coeffs)
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        # accumulated-shift coordinates: after processing level j the value
+        # rows satisfy cur[r] = true[r - cum]; every roll is small positive.
+        cur = scratch[levels].reshape(b_tile * window_rows, _LANES)
+        cum = 0
+        for level in range(levels, 0, -1):
+            detail = scratch[level - 1].reshape(b_tile * window_rows, _LANES)
+            offsets = band_offsets[level - 1]
+            e_max = e_maxes[level - 1]
+            acc = None
+            for idx_e, e in enumerate(offsets):
+                m = band_refs[level - 1][idx_e]
+                va = _shift_rows(cur, e_max - e)
+                vd = _shift_rows(detail, cum + e_max - e)
+                term = _dot(va, m[:, :_LANES], precision) + _dot(
+                    vd, m[:, _LANES:], precision
+                )
+                acc = term if acc is None else acc + term
+            cur = acc.astype(dtype)
+            cum += e_max
+        # align the accumulated shift to the (8-rounded) halo so the final
+        # slice offset is sublane-aligned: true rows [0, tile) = [halo_rows:)
+        cur = _shift_rows(cur, halo_rows - cum)
+        out_ref[:] = cur.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
+
+    n_dots = 2 * sum(len(o) for o in band_offsets)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_coeffs
+        + ([] if baked else
+           [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)]),
+        out_specs=pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r_out, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_coeffs, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((n_coeffs,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_dots * b * r_out * _LANES * _LANES,
+            bytes_accessed=b * r_out * _LANES * (n_coeffs + 1) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*coeffs, *band_consts)
+    return out
+
+
+def run_analysis_mxu(x, levels, filters, periodic, tile, precision, interpret):
+    """[B, N] analysis through the banded-matmul kernel; arbitrary N."""
+    b, n = x.shape
+    filter_length = len(filters[0])
+    # multiple of 8 so window reshapes and halo-offset slices stay
+    # sublane-aligned (misaligned layouts faulted this TPU runtime)
+    halo_rows = _round_up(max(halo_rows_total(filter_length, levels), 1), 8)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        x.dtype.itemsize,
+    )
+    n_pad = _round_up(n, tile_rows * _LANES)
+    if periodic:
+        reps = -(-halo_pad // n)
+        left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
+    else:
+        left = jnp.zeros((b, halo_pad), dtype=x.dtype)
+    pieces = [left, x]
+    if n_pad != n:
+        pieces.append(jnp.zeros((b, n_pad - n), dtype=x.dtype))
+    x_ext = _to_rows(jnp.concatenate(pieces, axis=-1))
+    outs = _mxu_analysis_call(
+        x_ext,
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        precision=precision,
+        interpret=interpret,
+    )
+    outs = tuple(_from_rows(o)[..., :n] for o in outs)
+    return outs
+
+
+def run_synthesis_mxu(coeff_planes, levels, filters, periodic, tile, precision,
+                      interpret):
+    """Tuple of [B, N] planes -> reconstructed [B, N]; arbitrary N."""
+    b, n = coeff_planes[0].shape
+    filter_length = len(filters[0])
+    halo_rows = _round_up(max(halo_rows_total(filter_length, levels), 1), 8)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        coeff_planes[0].dtype.itemsize,
+    )
+    n_pad = _round_up(n, tile_rows * _LANES)
+
+    def extend(plane):
+        if periodic:
+            reps = -(-halo_pad // n)
+            right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
+        else:
+            right = jnp.zeros((b, halo_pad), dtype=plane.dtype)
+        pieces = [plane, right]
+        if n_pad != n:
+            pieces.append(jnp.zeros((b, n_pad - n), dtype=plane.dtype))
+        return _to_rows(jnp.concatenate(pieces, axis=-1))
+
+    out = _mxu_synthesis_call(
+        tuple(extend(p) for p in coeff_planes),
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        precision=precision,
+        interpret=interpret,
+    )
+    return _from_rows(out)[..., :n]
+
+
+# ---------------------------------------------------------------------------
+# Composite-filter formulation (v3): every output plane computed DIRECTLY
+# from x with a precomposed à trous filter, so there is no inter-level
+# dependency to serialize the MXU — the whole analysis is ~5 wide
+# independent banded matmuls (grouped by row-block offset), and synthesis is
+# ~5 deep-contraction matmuls over the lane-concatenated planes.  Exact for
+# periodic/zero (composition of linear/circular convolutions); symmetric
+# stays on the cascade (per-level mirror is not a composition).
+# FLOPs/sample also drop ~20% vs the cascade (shared block offsets).
+# ---------------------------------------------------------------------------
+
+
+def _upsample_filter(f: np.ndarray, s: int) -> np.ndarray:
+    if s == 1:
+        return np.asarray(f, dtype=np.float64)
+    out = np.zeros((len(f) - 1) * s + 1, dtype=np.float64)
+    out[::s] = f
+    return out
+
+
+def composite_plane_filters(
+    low: np.ndarray, high: np.ndarray, levels: int
+) -> list[np.ndarray]:
+    """Causal composite filters [d1, ..., dJ, aJ]: d_j = g_j * h_{j-1} * ...
+    * h_1 (à trous upsampled, np.convolve composition).  Inputs are the
+    per-stage-scaled base filters, so the 2^{-j/2} scaling composes in."""
+    comps = []
+    acc = np.array([1.0])
+    for j in range(1, levels + 1):
+        s = 1 << (j - 1)
+        comps.append(np.convolve(acc, _upsample_filter(high, s)))
+        acc = np.convolve(acc, _upsample_filter(low, s))
+    comps.append(acc)
+    return comps
+
+
+def _band_single(filt: np.ndarray, sign: int) -> dict[int, np.ndarray]:
+    """{e: M_e[128, 128]} for out_rows[r] = sum_e X[r+e] @ M_e of
+    ``out[p] = sum_tau f[tau] x[p + sign*tau]``."""
+    blocks: dict[int, np.ndarray] = {}
+    for tau, val in enumerate(np.asarray(filt, dtype=np.float64)):
+        if val == 0.0:
+            continue
+        delta = sign * tau
+        for i in range(_LANES):
+            src = i + delta
+            e = src // _LANES
+            lane = src - e * _LANES
+            m = blocks.setdefault(e, np.zeros((_LANES, _LANES), dtype=np.float64))
+            m[lane, i] += val
+    return blocks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
+        "interpret", "periodic", "inline_halo",
+    ),
+)
+def _composite_analysis_call(
+    x: jnp.ndarray,  # [B, R, 128]; halo prepended unless inline_halo
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    precision: str,
+    interpret: bool,
+    periodic: bool = True,
+    inline_halo: bool = False,
+):
+    """Composite analysis kernel.
+
+    ``inline_halo=True`` (N a tile multiple): ``x`` carries NO halo; edge
+    tiles fetch the periodic wrap (or zero-fill) inside the kernel, so the
+    wrapper never materializes an extended copy of the input — the extend
+    path measured as ~2.4 ms of pure XLA copies per roundtrip at the bench
+    shape, over half the end-to-end time.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    planes = composite_plane_filters(low, high, levels)
+    n_planes = len(planes)  # levels + 1
+    plane_bands = [_band_single(p, sign=-1) for p in planes]
+    all_e = sorted({e for pb in plane_bands for e in pb}, reverse=True)  # 0, -1, ...
+    groups = []  # (shift, members, M_e concat)
+    for e in all_e:
+        members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
+        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=1)
+        groups.append((-e, members, m_cat))
+
+    b, r_total, _ = x.shape
+    r_out = r_total if inline_halo else r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    grid = (b // b_tile, r_out // tile_rows)
+    dtype = x.dtype
+    group_consts = [
+        jnp.asarray(m, dtype=jnp.float32) for _, _, m in groups
+    ]
+
+    def kernel(x_hbm, *rest):
+        g_refs = rest[: len(groups)]
+        out_refs = rest[len(groups) : len(groups) + n_planes]
+        scratch, sems = rest[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        bs = pl.ds(bi * b_tile, b_tile)
+        num_t = r_out // tile_rows
+        if inline_halo:
+            if num_t > 1:  # single-tile grids have no interior (pl.when
+                # traces both branches, and the interior window would
+                # exceed the operand shape)
+                @pl.when(t != 0)
+                def _interior():
+                    c = pltpu.make_async_copy(
+                        x_hbm.at[
+                            bs, pl.ds(t * tile_rows - halo_rows, window_rows), :
+                        ],
+                        scratch,
+                        sems.at[0],
+                    )
+                    c.start()
+                    c.wait()
+
+            @pl.when(t == 0)
+            def _edge():
+                main = pltpu.make_async_copy(
+                    x_hbm.at[bs, pl.ds(0, tile_rows), :],
+                    scratch.at[:, pl.ds(halo_rows, tile_rows), :],
+                    sems.at[0],
+                )
+                if periodic:
+                    wrap = pltpu.make_async_copy(
+                        x_hbm.at[bs, pl.ds(r_out - halo_rows, halo_rows), :],
+                        scratch.at[:, pl.ds(0, halo_rows), :],
+                        sems.at[1],
+                    )
+                    main.start()
+                    wrap.start()
+                    main.wait()
+                    wrap.wait()
+                else:
+                    main.start()
+                    scratch[:, :halo_rows, :] = jnp.zeros(
+                        (b_tile, halo_rows, _LANES), dtype
+                    )
+                    main.wait()
+        else:
+            c = pltpu.make_async_copy(
+                x_hbm.at[bs, pl.ds(t * tile_rows, window_rows), :],
+                scratch,
+                sems.at[0],
+            )
+            c.start()
+            c.wait()
+        flat = scratch[:].reshape(b_tile * window_rows, _LANES)
+        accs = [None] * n_planes
+        for gi, (shift, members, _) in enumerate(groups):
+            view = _shift_rows(flat, shift)
+            out = _dot(view, g_refs[gi][:], precision)
+            for slot, pi in enumerate(members):
+                piece = out[:, slot * _LANES : (slot + 1) * _LANES]
+                accs[pi] = piece if accs[pi] is None else accs[pi] + piece
+        for pi in range(n_planes):
+            out_refs[pi][:] = (
+                accs[pi].astype(dtype).reshape(b_tile, window_rows, _LANES)[
+                    :, halo_rows:, :
+                ]
+            )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, r_out, _LANES), dtype) for _ in range(n_planes)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_planes)
+    ]
+    macs = sum(m.shape[1] for _, _, m in groups) * _LANES
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(groups))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * macs * b * r_out,
+            bytes_accessed=b * r_out * _LANES * (n_planes + 1) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, *group_consts)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
+        "interpret", "periodic", "inline_halo",
+    ),
+)
+def _composite_synthesis_call(
+    coeffs: tuple[jnp.ndarray, ...],  # each [B, R, 128]; right halo unless inline
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    precision: str,
+    interpret: bool,
+    periodic: bool = True,
+    inline_halo: bool = False,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    planes = composite_plane_filters(low, high, levels)
+    n_planes = len(planes)
+    plane_bands = [_band_single(p, sign=+1) for p in planes]
+    all_e = sorted({e for pb in plane_bands for e in pb})  # 0, 1, 2, ...
+    e_max = all_e[-1]
+    groups = []  # (shift, members, M_e vstack [128k, 128])
+    for e in all_e:
+        members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
+        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=0)
+        groups.append((e_max - e, members, m_cat))
+
+    b, r_total, _ = coeffs[0].shape
+    r_out = r_total if inline_halo else r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    num_t = r_out // tile_rows
+    grid = (b // b_tile, num_t)
+    dtype = coeffs[0].dtype
+    group_consts = [jnp.asarray(m, dtype=jnp.float32) for _, _, m in groups]
+
+    def kernel(*refs):
+        coeff_hbm = refs[:n_planes]
+        g_refs = refs[n_planes : n_planes + len(groups)]
+        out_ref = refs[n_planes + len(groups)]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        bs = pl.ds(bi * b_tile, b_tile)
+        if inline_halo:
+            if num_t > 1:  # see analysis kernel: avoid tracing an
+                # over-sized interior window on single-tile grids
+                @pl.when(t != num_t - 1)
+                def _interior():
+                    cs = [
+                        pltpu.make_async_copy(
+                            coeff_hbm[i].at[
+                                bs, pl.ds(t * tile_rows, window_rows), :
+                            ],
+                            scratch.at[i],
+                            sems.at[i],
+                        )
+                        for i in range(n_planes)
+                    ]
+                    for c in cs:
+                        c.start()
+                    for c in cs:
+                        c.wait()
+
+            @pl.when(t == num_t - 1)
+            def _edge():
+                mains = [
+                    pltpu.make_async_copy(
+                        coeff_hbm[i].at[bs, pl.ds(t * tile_rows, tile_rows), :],
+                        scratch.at[i, :, pl.ds(0, tile_rows), :],
+                        sems.at[i],
+                    )
+                    for i in range(n_planes)
+                ]
+                for c in mains:
+                    c.start()
+                if periodic:
+                    wraps = [
+                        pltpu.make_async_copy(
+                            coeff_hbm[i].at[bs, pl.ds(0, halo_rows), :],
+                            scratch.at[i, :, pl.ds(tile_rows, halo_rows), :],
+                            sems.at[n_planes + i],
+                        )
+                        for i in range(n_planes)
+                    ]
+                    for c in wraps:
+                        c.start()
+                    for c in wraps:
+                        c.wait()
+                else:
+                    scratch[:, :, tile_rows:, :] = jnp.zeros(
+                        (n_planes, b_tile, halo_rows, _LANES), dtype
+                    )
+                for c in mains:
+                    c.wait()
+        else:
+            cs = [
+                pltpu.make_async_copy(
+                    coeff_hbm[i].at[bs, pl.ds(t * tile_rows, window_rows), :],
+                    scratch.at[i],
+                    sems.at[i],
+                )
+                for i in range(n_planes)
+            ]
+            for c in cs:
+                c.start()
+            for c in cs:
+                c.wait()
+        flats = [
+            scratch[i].reshape(b_tile * window_rows, _LANES)
+            for i in range(n_planes)
+        ]
+        # accumulated-shift coords: out'[r] = out[r - e_max]; all shifts >= 0
+        acc = None
+        for gi, (shift, members, _) in enumerate(groups):
+            views = [_shift_rows(flats[pi], shift) for pi in members]
+            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
+            term = _dot(cat, g_refs[gi][:], precision)
+            acc = term if acc is None else acc + term
+        acc = _shift_rows(acc.astype(dtype), halo_rows - e_max)
+        out_ref[:] = acc.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
+
+    macs = sum(m.shape[0] for _, _, m in groups) * _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(groups))],
+        out_specs=pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r_out, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2 * n_planes,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * macs * b * r_out,
+            bytes_accessed=b * r_out * _LANES * (n_planes + 1) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*coeffs, *group_consts)
+    return out
+
+
+def run_analysis_composite(x, levels, filters, periodic, tile, precision,
+                           interpret):
+    """[B, N] composite-filter analysis; arbitrary N; periodic/zero.
+
+    When N is a whole number of row tiles the kernel fetches its own halos
+    (edge-tile wrap DMAs) and NO extended copy of x is built — the extend
+    path costs more than the kernel itself at bench shapes.
+    """
+    b, n = x.shape
+    filter_length = len(filters[0])
+    span = (filter_length - 1) * ((1 << levels) - 1)
+    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        x.dtype.itemsize,
+    )
+    inline = n % (tile_rows * _LANES) == 0 and n >= halo_pad
+    if inline:
+        outs = _composite_analysis_call(
+            _to_rows(x),
+            levels=levels,
+            filters=filters,
+            b_tile=b_tile,
+            tile_rows=tile_rows,
+            halo_rows=halo_rows,
+            precision=precision,
+            interpret=interpret,
+            periodic=periodic,
+            inline_halo=True,
+        )
+        return tuple(_from_rows(o) for o in outs)
+    n_pad = _round_up(n, tile_rows * _LANES)
+    if periodic:
+        reps = -(-halo_pad // n)
+        left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
+    else:
+        left = jnp.zeros((b, halo_pad), dtype=x.dtype)
+    pieces = [left, x]
+    if n_pad != n:
+        pieces.append(jnp.zeros((b, n_pad - n), dtype=x.dtype))
+    x_ext = _to_rows(jnp.concatenate(pieces, axis=-1))
+    outs = _composite_analysis_call(
+        x_ext,
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        precision=precision,
+        interpret=interpret,
+        periodic=periodic,
+        inline_halo=False,
+    )
+    return tuple(_from_rows(o)[..., :n] for o in outs)
+
+
+def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
+                            precision, interpret):
+    """Tuple of [B, N] planes -> [B, N]; arbitrary N; periodic/zero."""
+    b, n = coeff_planes[0].shape
+    filter_length = len(filters[0])
+    span = (filter_length - 1) * ((1 << levels) - 1)
+    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        coeff_planes[0].dtype.itemsize,
+    )
+    inline = n % (tile_rows * _LANES) == 0 and n >= halo_pad
+    if inline:
+        out = _composite_synthesis_call(
+            tuple(_to_rows(p) for p in coeff_planes),
+            levels=levels,
+            filters=filters,
+            b_tile=b_tile,
+            tile_rows=tile_rows,
+            halo_rows=halo_rows,
+            precision=precision,
+            interpret=interpret,
+            periodic=periodic,
+            inline_halo=True,
+        )
+        return _from_rows(out)
+    n_pad = _round_up(n, tile_rows * _LANES)
+
+    def extend(plane):
+        if periodic:
+            reps = -(-halo_pad // n)
+            right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
+        else:
+            right = jnp.zeros((b, halo_pad), dtype=plane.dtype)
+        pieces = [plane, right]
+        if n_pad != n:
+            pieces.append(jnp.zeros((b, n_pad - n), dtype=plane.dtype))
+        return _to_rows(jnp.concatenate(pieces, axis=-1))
+
+    out = _composite_synthesis_call(
+        tuple(extend(p) for p in coeff_planes),
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        precision=precision,
+        interpret=interpret,
+        periodic=periodic,
+        inline_halo=False,
+    )
+    return _from_rows(out)[..., :n]

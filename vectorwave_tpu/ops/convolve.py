@@ -100,6 +100,35 @@ def fft_circular_convolve(
     return out.astype(x.dtype)
 
 
+def fft_analysis_pair(
+    x: jnp.ndarray,
+    low: np.ndarray,
+    high: np.ndarray,
+    *,
+    spacing: int = 1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """FFT periodic analysis for BOTH filters with one signal FFT
+    (the fused counterpart of ``circularConvolveMODWTFFT``,
+    ``ScalarOps.java:650-675``, for long base filters like dmey)."""
+    n = x.shape[-1]
+    spec_x = jnp.fft.rfft(x, axis=-1)
+
+    def spec_of(filt):
+        filt_np = np.asarray(filt, dtype=np.float64)
+        length = (len(filt_np) - 1) * spacing + 1
+        h_up = np.zeros(length)
+        h_up[::spacing] = filt_np
+        h_pad = np.zeros(n)
+        for start in range(0, length, n):
+            chunk = h_up[start : start + n]
+            h_pad[: len(chunk)] += chunk
+        return jnp.asarray(np.fft.rfft(h_pad))
+
+    approx = jnp.fft.irfft(spec_x * spec_of(low), n=n, axis=-1)
+    detail = jnp.fft.irfft(spec_x * spec_of(high), n=n, axis=-1)
+    return approx.astype(x.dtype), detail.astype(x.dtype)
+
+
 def _roll_sum(
     x: jnp.ndarray,
     taps: Sequence[tuple[int, float]],

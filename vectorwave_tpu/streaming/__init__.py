@@ -6,6 +6,15 @@ from .stream import (
     streaming_init,
     suggest_flush_tail_length,
 )
+from .sliding import (
+    SlidingStreamingTransform,
+    SlidingWindowState,
+    sliding_init,
+    sliding_push,
+    sliding_step,
+    sliding_step_multilevel,
+    step_size,
+)
 from .denoiser_stream import (
     StreamingDenoiser,
     StreamingDenoiserState,
@@ -20,6 +29,13 @@ __all__ = [
     "modwt_stream_block",
     "modwt_stream_flush",
     "suggest_flush_tail_length",
+    "SlidingStreamingTransform",
+    "SlidingWindowState",
+    "sliding_init",
+    "sliding_push",
+    "sliding_step",
+    "sliding_step_multilevel",
+    "step_size",
     "StreamingDenoiserState",
     "streaming_denoiser_init",
     "streaming_denoise_block",

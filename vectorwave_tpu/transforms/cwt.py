@@ -492,3 +492,116 @@ def select_scales_signal_adaptive(
     w = _resolve_continuous(wavelet)
     scales = np.unique(w.center_frequency / (freq_samples * dt))
     return tuple(scales.tolist())  # np.unique is ascending, like the other selectors
+
+
+class ScaleSelectionConfig(NamedTuple):
+    """Adaptive scale-selection options
+    (``AdaptiveScaleSelector.ScaleSelectionConfig`` builder,
+    ``cwt/AdaptiveScaleSelector.java:80-271``).
+
+    ``min_frequency``/``max_frequency`` of 0 mean auto-detect.
+    ``spacing`` is one of ``linear`` / ``logarithmic`` / ``dyadic``.
+    """
+
+    sampling_rate: float
+    min_frequency: float = 0.0
+    max_frequency: float = 0.0
+    scales_per_octave: int = 10
+    use_signal_adaptation: bool = True
+    max_scales: int = 200
+    spacing: str = "logarithmic"
+
+
+def estimate_scale_count(
+    min_freq: float, max_freq: float, *, scales_per_octave: int = 10
+) -> int:
+    """Scales needed for a frequency range
+    (``AdaptiveScaleSelector.estimateScaleCount`` :57-76)."""
+    if min_freq <= 0 or max_freq <= min_freq:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Invalid frequency range [{min_freq}, {max_freq}]",
+        )
+    octaves = math.log2(max_freq / min_freq)
+    return max(1, int(math.ceil(octaves * scales_per_octave)))
+
+
+def frequency_range_of_scales(
+    scales, wavelet, sampling_rate: float
+) -> tuple[float, float]:
+    """[minFreq, maxFreq] analyzed by ascending ``scales``
+    (``AdaptiveScaleSelector.getFrequencyRange`` :37-55)."""
+    scales = np.asarray(scales, dtype=np.float64)
+    if scales.size == 0:
+        return (0.0, 0.0)
+    w = _resolve_continuous(wavelet)
+    fc = w.center_frequency
+    return (fc * sampling_rate / scales[-1], fc * sampling_rate / scales[0])
+
+
+def select_scales_adaptive(
+    x: np.ndarray,
+    wavelet,
+    config: ScaleSelectionConfig,
+) -> tuple[float, ...]:
+    """Config-driven adaptive scale selection
+    (``AdaptiveScaleSelector.selectScales`` :17-35).
+
+    Auto-detects the frequency range from the signal spectrum (energy
+    quantiles, like :func:`select_scales_signal_adaptive`) when
+    ``use_signal_adaptation`` is on, otherwise spans a-few-cycles .. Nyquist;
+    then lays out up to ``max_scales`` scales in the requested spacing.
+    Host-side: scale choice is data-dependent and happens before tracing.
+    """
+    w = _resolve_continuous(wavelet)
+    fs = float(config.sampling_rate)
+    if fs <= 0:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG, f"sampling_rate must be > 0, got {fs}"
+        )
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    n = len(x)
+    nyquist = fs / 2.0
+    f_lo = config.min_frequency if config.min_frequency > 0 else 4.0 * fs / max(n, 8)
+    f_hi = config.max_frequency if config.max_frequency > 0 else 0.5 * nyquist
+    if config.use_signal_adaptation and n >= 16:
+        spec = np.abs(np.fft.rfft(x - x.mean())) ** 2
+        freqs = np.fft.rfftfreq(n, d=1.0 / fs)
+        spec[0] = 0.0
+        total = spec.sum()
+        if total > 0:
+            cdf = np.cumsum(spec) / total
+            lo = float(np.interp(0.01, cdf, freqs))
+            hi = float(np.interp(0.99, cdf, freqs))
+            if config.min_frequency <= 0:
+                f_lo = max(f_lo / 4.0, min(f_lo, lo))
+            if config.max_frequency <= 0:
+                f_hi = min(nyquist, max(f_hi, hi))
+    f_lo = max(f_lo, fs / n)
+    f_hi = max(min(f_hi, nyquist), f_lo * 1.0001)
+    count = min(
+        config.max_scales,
+        estimate_scale_count(f_lo, f_hi, scales_per_octave=config.scales_per_octave),
+    )
+    fc = w.center_frequency
+    s_min = fc * fs / f_hi  # high frequency -> small scale
+    s_max = fc * fs / f_lo
+    spacing = config.spacing.lower()
+    if spacing.startswith("lin"):
+        scales = np.linspace(s_min, s_max, count)
+    elif spacing.startswith("dya"):
+        j_lo = math.floor(math.log2(s_min))
+        j_hi = math.ceil(math.log2(s_max))
+        scales = 2.0 ** np.arange(j_lo, j_hi + 1)
+        scales = scales[(scales >= s_min / 2) & (scales <= s_max * 2)][
+            : config.max_scales
+        ]
+    elif spacing.startswith("log"):
+        scales = np.geomspace(s_min, s_max, count)
+    else:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown scale spacing {config.spacing!r}",
+            suggestions=("Use 'linear', 'logarithmic' or 'dyadic'",),
+        )
+    return tuple(np.asarray(scales, dtype=np.float64).tolist())

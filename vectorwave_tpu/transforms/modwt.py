@@ -91,6 +91,14 @@ def modwt(
     _validate_signal(x)
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
+    if boundary.lower().startswith("per"):
+        from ..ops.facade import should_use_fft
+
+        if should_use_fft(x.shape[-1], w.filter_length):
+            from ..ops.convolve import fft_analysis_pair
+
+            approx, detail = fft_analysis_pair(x, low, high, spacing=1)
+            return MODWTResult(approx, detail)
     approx, detail = atrous_analysis_pair(x, low, high, spacing=1, boundary=boundary)
     return MODWTResult(approx, detail)
 

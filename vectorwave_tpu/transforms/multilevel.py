@@ -197,10 +197,23 @@ def modwt_multilevel(
 
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
+    use_fft = False
+    if boundary.lower().startswith("per"):
+        from ..ops.facade import should_use_fft
+
+        use_fft = should_use_fft(n, w.filter_length)
     details = []
     current = x
     for level in range(1, levels + 1):
         spacing = 1 << (level - 1)
+        if use_fft:
+            from ..ops.convolve import fft_analysis_pair
+
+            current, detail = fft_analysis_pair(
+                current, low, high, spacing=spacing
+            )
+            details.append(detail)
+            continue
         current, detail = atrous_analysis_pair(
             current, low, high, spacing=spacing, boundary=boundary
         )
