@@ -124,6 +124,26 @@ def main() -> None:
         extras["pct_roofline_default"] = round(100 * rates["bf16_3x"] / roofline, 1)
         extras["pct_roofline_fast"] = round(100 * rates["bf16"] / roofline, 1)
 
+    if on_tpu:
+        # f64 bit-parity evidence (BASELINE.json's <=1e-10 gate): the jnp
+        # path in float64 on the host CPU backend (TPUs have no f64 units)
+        try:
+            jax.config.update("jax_enable_x64", True)
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                x64 = jnp.asarray(
+                    rng.standard_normal(16384), dtype=jnp.float64
+                )
+                res64 = vw.modwt_multilevel(
+                    x64, WAVELET, levels=LEVELS, backend="jnp"
+                )
+                xr64 = vw.imodwt_multilevel(res64, WAVELET, backend="jnp")
+                extras["float64_cpu_rmse"] = float(
+                    jnp.sqrt(jnp.mean((x64 - xr64) ** 2))
+                )
+        except Exception as exc:  # noqa: BLE001
+            extras["float64_cpu_rmse_error"] = str(exc)[:120]
+
     headline = rates[modes[0]]
     result = {
         "metric": "modwt_db4_6level_roundtrip_throughput",

@@ -1,0 +1,215 @@
+"""Full benchmark parity table vs the reference's published rows.
+
+Covers every row class of BASELINE.md (reference: 24-core CPU, GraalVM —
+docs/BENCHMARK-RESULTS.md:22-107) on the real TPU chip, single-transform
+latency shaped like the reference's JMH benchmarks.  Writes PERF.md and
+prints one JSON summary line.
+
+Timing: on-device fori_loop chains with enough iterations to amortize the
+~30 ms tunnel dispatch overhead (see bench.py); every chained step consumes
+all outputs so XLA cannot dead-code-eliminate half the transform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def _measure_ms(fn, x0, iters, readback, reps=3):
+    @jax.jit
+    def repeat(y):
+        return jax.lax.fori_loop(0, iters, lambda _, z: fn(z), y)
+
+    out = repeat(x0)
+    readback(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = repeat(x0)
+        readback(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / iters * 1e3
+
+
+def main():
+    cache_dir = os.path.expanduser("~/.cache/vectorwave_tpu_jax")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.streaming import SlidingStreamingTransform, sliding_step
+
+    device = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def sig(n, b=None):
+        shape = (n,) if b is None else (b, n)
+        return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+
+    rb1 = lambda o: np.asarray(o.reshape(-1)[:4])
+
+    def fwd(wavelet):
+        def fn(x):
+            res = vw.modwt(x, wavelet, boundary="periodic")
+            return res.approx + 1e-3 * res.detail
+
+        return fn
+
+    def ml(wavelet, levels):
+        def fn(x):
+            res = vw.modwt_multilevel(x, wavelet, levels=levels)
+            acc = res.approx
+            for d in res.details:
+                acc = acc + 1e-3 * d
+            return acc
+
+        return fn
+
+    def rt(wavelet, levels):
+        def fn(x):
+            res = vw.modwt_multilevel(x, wavelet, levels=levels)
+            return vw.imodwt_multilevel(res, wavelet)
+
+        return fn
+
+    def dn(levels):
+        def fn(x):
+            return vw.denoise_multilevel(
+                x, "db4", levels=levels, method="universal", mode="soft"
+            )
+
+        return fn
+
+    def cwt_fn(scales):
+        sc = tuple(np.geomspace(2.0, 64.0, scales).tolist())
+
+        def fn(x):
+            res = vw.cwt(x, sc, "morl")
+            return 1e-3 * res.coeffs.sum(axis=-2).real.astype(x.dtype) + x
+
+        return fn
+
+    def sharpe_fn(x):
+        import vectorwave_tpu.finance as fin
+
+        s = fin.wavelet_sharpe_ratio(x, wavelet="db4", levels=4)
+        return x + 1e-9 * s
+
+    # (name, fn, signal, iters, ref_core_ms, ref_ext_ms, source)
+    rows = [
+        ("MODWT fwd 1K haar", fwd("haar"), sig(1024), 2000, 0.047, 0.022, "BR:22"),
+        ("MODWT fwd 4K db4", fwd("db4"), sig(4096), 2000, 0.358, 0.117, "BR:26"),
+        ("MODWT fwd 16K db4", fwd("db4"), sig(16384), 1000, 1.624, 0.465, "BR:29"),
+        ("MODWT fwd 16K db8", fwd("db8"), sig(16384), 1000, 2.156, 0.578, "BR:30"),
+        ("MODWT fwd 64K haar", fwd("haar"), sig(65536), 1000, 4.892, 1.398, "BR:31"),
+        ("MODWT fwd 64K db4", fwd("db4"), sig(65536), 1000, 7.264, 1.862, "BR:32"),
+        ("MODWT fwd 64K db8", fwd("db8"), sig(65536), 1000, 9.648, 2.314, "BR:33"),
+        ("MODWT roundtrip 16K db4", rt("db4", 1), 1000, 2.84, 0.76, "README:329"),
+        ("Batch 16x4K db4 fwd", fwd("db4"), sig(4096, 16), 1000, 4.264, 0.982, "BR:42"),
+        ("5-level decomp 4K db4", ml("db4", 5), sig(4096), 1000, 1.79, 0.58, "BR:60"),
+        ("5-level decomp 16K db4", ml("db4", 5), sig(16384), 500, 8.12, 2.32, "BR:61"),
+        ("5-level decomp 64K db4", ml("db4", 5), sig(65536), 500, 36.45, 9.31, "BR:62"),
+        ("Denoise 16K 5-level", dn(5), sig(16384), 500, 14.26, 3.68, "BR:98"),
+        ("Denoise 64K 6-level", dn(6), sig(65536), 300, 68.42, 15.84, "BR:99"),
+        ("CWT 32 scales 8K", cwt_fn(32), sig(8192), 100, 92.6, 28.4, "BR:71"),
+        ("CWT 32 scales 32K", cwt_fn(32), sig(32768), 100, 486.2, 114.8, "BR:72"),
+        ("Wavelet Sharpe 10K", sharpe_fn, sig(10240), 300, 8.42, 2.14, "BR:107"),
+    ]
+    # special-case the roundtrip row's fn/signal tuple
+    rows[7] = ("MODWT roundtrip 16K db4", rt("db4", 1), sig(16384), 1000, 2.84,
+               0.76, "README:329")
+
+    results = []
+    for name, fn, x0, iters, ref_core, ref_ext, src in rows:
+        try:
+            ms = _measure_ms(fn, x0, iters, rb1)
+            results.append((name, ms, ref_core, ref_ext, src))
+            print(f"{name}: {ms:.4f} ms (ref ext {ref_ext} ms, "
+                  f"{ref_ext/ms:.1f}x)", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:160]}",
+                  file=sys.stderr, flush=True)
+            results.append((name, None, ref_core, ref_ext, src))
+
+    # streaming per-sample latency: one sliding window step per
+    # buffer_size-overlap new samples
+    buffer_size, wavelet = 512, "db4"
+    t = SlidingStreamingTransform(wavelet, buffer_size=buffer_size)
+    from vectorwave_tpu.streaming import sliding_init
+
+    state0 = sliding_init(buffer_size)
+    block = sig(t.step)
+
+    def stream_step(carry):
+        st, blk = carry
+        st, res = sliding_step(st, blk, wavelet)
+        return (st, blk + 1e-6 * res.detail[..., -t.step:])
+
+    @jax.jit
+    def stream_chain(carry):
+        return jax.lax.fori_loop(0, 500, lambda _, c: stream_step(c), carry)
+
+    out = stream_chain((state0, block))
+    np.asarray(out[1][:4])
+    t0 = time.perf_counter()
+    out = stream_chain((state0, block))
+    np.asarray(out[1][:4])
+    per_window = (time.perf_counter() - t0) / 500
+    per_sample_us = per_window / t.step * 1e6
+    print(f"streaming: {per_sample_us:.4f} us/sample", file=sys.stderr, flush=True)
+
+    lines = [
+        "# PERF — measured on-chip latencies vs the reference's published rows",
+        "",
+        f"Hardware: 1x {device.device_kind} (axon); reference: 24-core CPU "
+        "+ GraalVM (docs/BENCHMARK-RESULTS.md:7-14).  Single-transform "
+        "latency per row (batch=1 except the batch row), f32, fused-MXU "
+        "default precision (bf16_3x).  Timing: on-device fori chains, "
+        "dispatch overhead amortized (see bench.py docstring).",
+        "",
+        "| Benchmark | ref core (ms) | ref SIMD ext (ms) | ours (ms) | speedup vs ext | source |",
+        "|---|---|---|---|---|---|",
+    ]
+    summary = {}
+    all_beat = True
+    for name, ms, ref_core, ref_ext, src in results:
+        if ms is None:
+            lines.append(f"| {name} | {ref_core} | {ref_ext} | FAILED | — | {src} |")
+            all_beat = False
+            continue
+        speedup = ref_ext / ms
+        all_beat = all_beat and speedup > 1.0
+        lines.append(
+            f"| {name} | {ref_core} | {ref_ext} | {ms:.4f} | {speedup:.1f}x | {src} |"
+        )
+        summary[name] = round(ms, 4)
+    lines += [
+        "",
+        f"Streaming (sliding window 512, db4): **{per_sample_us:.3f} "
+        "µs/sample** (reference fast-mode target < 1 µs/sample, "
+        "docs/ARCHITECTURE.md:110).",
+        "",
+        "Throughput-shaped numbers (batch 128 x 64K, measured HBM roofline, "
+        "precision ladder) are in BENCH_r*.json / bench.py.",
+        "",
+    ]
+    with open(os.path.join(REPO, "PERF.md"), "w") as f:
+        f.write("\n".join(lines))
+    summary["streaming_us_per_sample"] = round(per_sample_us, 4)
+    summary["all_rows_beat_reference_ext"] = all_beat
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,3 +192,25 @@ def test_adaptive_selector_max_scales_cap():
     cfg = vw.ScaleSelectionConfig(sampling_rate=fs, max_scales=16)
     scales = vw.select_scales_adaptive(x, "morl", cfg)
     assert len(scales) <= 16
+
+
+def test_cwt_config_object():
+    """CWTConfig (cwt/CWTConfig.java role): bundled engine options with
+    auto FFT-vs-direct thresholding and fft_size validation."""
+    x = jnp.asarray(_two_tone())
+    cfg = vw.CWTConfig(boundary="zero", method="auto", fft_threshold=64)
+    res = vw.cwt(x, (4.0, 8.0), "morl", config=cfg)
+    base = vw.cwt(x, (4.0, 8.0), "morl", method="fft", boundary="zero")
+    np.testing.assert_allclose(
+        np.asarray(res.coeffs), np.asarray(base.coeffs), atol=1e-10
+    )
+    # tiny signal with auto -> direct path
+    cfg_small = vw.CWTConfig(method="auto", fft_threshold=10**9)
+    res_d = vw.cwt(jnp.asarray(_two_tone()[:64]), (2.0,), "morl", config=cfg_small)
+    assert res_d.coeffs.shape == (1, 64)
+    # explicit fft_size below the linear-convolution minimum is rejected
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.cwt(x, (4.0, 8.0), "morl", config=vw.CWTConfig(fft_size=8))
+    # analytic flag carried through the config
+    res_a = vw.cwt(x, (8.0,), "morl", config=vw.CWTConfig(analytic=True))
+    assert jnp.iscomplexobj(res_a.coeffs)

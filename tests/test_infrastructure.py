@@ -89,3 +89,37 @@ def test_transform_config_dataclass():
     cfg = vw.TransformConfig(boundary="zero", backend="jnp")
     assert cfg.boundary == "zero"
     assert cfg.max_decomposition_levels == 20
+
+
+def test_fft_routing_is_wired_into_modwt():
+    """Round-1 finding: should_use_fft was dead code.  Now modwt() and
+    modwt_multilevel() route long-filter periodic transforms through
+    fft_analysis_pair, with the crossover measured on chip (>= 64 base taps;
+    tools/probe_fft_crossover.py)."""
+    import numpy as np
+
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.ops import facade
+
+    # dmey (62 taps) stays on the roll path per the measurement
+    assert not facade.should_use_fft(65536, 62)
+    assert facade.should_use_fft(65536, 64)
+
+    # a custom 80-tap orthonormal-ish filter routes through FFT and matches
+    # the roll form
+    rng = np.random.default_rng(0)
+    taps = rng.standard_normal(80)
+    taps /= np.sqrt((taps**2).sum()) / np.sqrt(2)
+    from vectorwave_tpu.wavelets.base import orthogonal_wavelet
+
+    w = orthogonal_wavelet("test_long80", "custom", taps, 0)
+    x = jnp.asarray(composite_sin(4096, noise_std=0.2))
+    res_fft = vw.modwt(x, w, boundary="periodic")  # routes via FFT (80 >= 64)
+    from vectorwave_tpu.ops.convolve import atrous_analysis_pair
+
+    a, d = atrous_analysis_pair(
+        x, w.dec_lo / np.sqrt(2), w.dec_hi / np.sqrt(2), spacing=1,
+        boundary="periodic",
+    )
+    np.testing.assert_allclose(np.asarray(res_fft.approx), np.asarray(a), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(res_fft.detail), np.asarray(d), atol=1e-9)

@@ -71,9 +71,28 @@ def test_fused_1d_input():
     np.testing.assert_allclose(np.asarray(details[2]), np.asarray(ref.details[2]), atol=2e-6)
 
 
-def test_fused_symmetric_rejected():
+@pytest.mark.parametrize("name,levels,n", [("db4", 4, 2048), ("sym8", 3, 1000),
+                                           ("haar", 5, 4096)])
+def test_fused_symmetric_analysis_matches_jnp(name, levels, n):
+    """Round-2: symmetric analysis runs the cascade kernel with per-level
+    edge mirrors and matches the jnp symmetric cascade exactly."""
+    x = _x32((3, n), seed=13)
+    details, approx = fused_analysis(
+        x, name, levels=levels, boundary="symmetric", tile=1024, interpret=True,
+        precision="float32",
+    )
+    ref = vw.modwt_multilevel(x, name, levels=levels, boundary="symmetric",
+                              backend="jnp")
+    for d, r in zip(details, ref.details):
+        np.testing.assert_allclose(np.asarray(d), np.asarray(r), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(ref.approx),
+                               atol=2e-6)
+
+
+def test_fused_bogus_boundary_rejected():
     with pytest.raises(vw.InvalidArgumentError):
-        fused_analysis(_x32((2, 512)), "db4", levels=3, boundary="symmetric", interpret=True)
+        fused_analysis(_x32((2, 512)), "db4", levels=3, boundary="nope",
+                       interpret=True)
 
 
 def test_fused_synthesis_symmetric_rejected():

@@ -42,11 +42,13 @@ LEVELS = 6
 
 
 def _time(fn, *args, reps=5):
-    fn(*args)  # compile + warm
-    times = []
+    jitted = jax.jit(fn)
+    out = jitted(*args)  # compile + warm (eager shard_map would otherwise
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)  # re-trace
+    times = []                                                    # per call)
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = jitted(*args)
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times))

@@ -46,6 +46,7 @@ from .transforms.multilevel import (
     modwt_multilevel,
 )
 from .transforms.cwt import (
+    CWTConfig,
     CWTResult,
     ScaleSelectionConfig,
     cwt,
@@ -121,6 +122,7 @@ __all__ = [
     "cwt",
     "icwt",
     "CWTResult",
+    "CWTConfig",
     "reconstruct_band",
     "reconstruct_frequency_band",
     "scale_to_frequency",

@@ -189,7 +189,7 @@ def _from_rows(x3d: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "baked",
+        "interpret", "symmetric",
     ),
 )
 def _mxu_analysis_call(
@@ -202,7 +202,7 @@ def _mxu_analysis_call(
     halo_rows: int,
     precision: str,
     interpret: bool,
-    baked: bool = True,
+    symmetric: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -216,25 +216,25 @@ def _mxu_analysis_call(
     grid = (b // b_tile, r_out // tile_rows)
     dtype = x.dtype
 
-    band_np = [
-        [np.asarray(m, dtype=np.float32) for _, m in sorted(bands[j - 1].items())]
+    band_consts = [
+        jnp.asarray(
+            np.stack([m for _, m in sorted(bands[j - 1].items())]),
+            dtype=jnp.float32,
+        )
         for j in range(1, levels + 1)
     ]
-    band_consts = (
-        []
-        if baked
-        else [jnp.asarray(np.stack(ms), dtype=jnp.float32) for ms in band_np]
-    )
+    if symmetric:  # lane anti-identity for the edge mirror (no rev in Mosaic)
+        band_consts = band_consts + [
+            jnp.asarray(np.eye(_LANES, dtype=np.float32)[::-1].copy())
+        ]
+    n_band_inputs = len(band_consts)
     # analysis offsets e are <= 0; shift = -e is a small positive roll
     band_shifts = [[-e for e in sorted(bands[j - 1].keys())] for j in range(1, levels + 1)]
 
     def kernel(x_hbm, *rest):
-        if baked:
-            band_refs = [[jnp.asarray(m) for m in ms] for ms in band_np]
-            out_refs = rest[: levels + 1]
-        else:
-            band_refs = rest[:levels]
-            out_refs = rest[levels : levels + levels + 1]
+        band_refs = rest[:levels]
+        out_refs = rest[n_band_inputs : n_band_inputs + levels + 1]
+        j_lane_ref = rest[n_band_inputs - 1] if symmetric else None
         scratch, sems = rest[-2:]
         bi = pl.program_id(0)
         t = pl.program_id(1)
@@ -249,6 +249,36 @@ def _mxu_analysis_call(
         copy.wait()
         cur = scratch[:].reshape(b_tile * window_rows, _LANES)
         for level in range(1, levels + 1):
+            if symmetric:
+                # Per-level half-point mirror at the signal start (tile 0):
+                # the evolving approximation's own head is reflected into the
+                # halo slab before each level's convolution — the reference's
+                # symmetric cascade semantics (mirror-ext of the CURRENT
+                # level input, not of x; BatchStreamingMODWT.java:74-95).
+                # Mosaic has no `rev` lowering, so the reversal is a lane
+                # anti-identity matmul + per-row re-stack of the tiny slab.
+                cur3 = cur.reshape(b_tile, window_rows, _LANES)
+                slab = cur3[:, halo_rows : 2 * halo_rows, :]
+                ls = (
+                    jax.lax.dot_general(
+                        slab.reshape(b_tile * halo_rows, _LANES),
+                        j_lane_ref[:],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    .astype(dtype)
+                    .reshape(b_tile, halo_rows, _LANES)
+                )
+                head = jnp.concatenate(
+                    [ls[:, i : i + 1, :] for i in range(halo_rows - 1, -1, -1)],
+                    axis=1,
+                )
+                is_edge = pl.program_id(1) == 0
+                head_sel = jnp.where(is_edge, head, cur3[:, :halo_rows, :])
+                cur = jnp.concatenate(
+                    [head_sel, cur3[:, halo_rows:, :]], axis=1
+                ).reshape(b_tile * window_rows, _LANES)
             acc = None
             for idx_e, shift in enumerate(band_shifts[level - 1]):
                 view = _shift_rows(cur, shift)
@@ -278,8 +308,7 @@ def _mxu_analysis_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + ([] if baked else
-           [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)]),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n_band_inputs)],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -300,7 +329,7 @@ def _mxu_analysis_call(
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "baked",
+        "interpret",
     ),
 )
 def _mxu_synthesis_call(
@@ -313,7 +342,6 @@ def _mxu_synthesis_call(
     halo_rows: int,
     precision: str,
     interpret: bool,
-    baked: bool = True,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -328,26 +356,20 @@ def _mxu_synthesis_call(
     grid = (b // b_tile, r_out // tile_rows)
     dtype = coeffs[0].dtype
 
-    band_np = [
-        [np.asarray(m, dtype=np.float32) for _, m in sorted(bands[j - 1].items())]
+    band_consts = [
+        jnp.asarray(
+            np.stack([m for _, m in sorted(bands[j - 1].items())]),
+            dtype=jnp.float32,
+        )
         for j in range(1, levels + 1)
     ]
-    band_consts = (
-        []
-        if baked
-        else [jnp.asarray(np.stack(ms), dtype=jnp.float32) for ms in band_np]
-    )
     band_offsets = [sorted(bands[j - 1].keys()) for j in range(1, levels + 1)]
     e_maxes = [offs[-1] for offs in band_offsets]
 
     def kernel(*refs):
         coeff_hbm = refs[:n_coeffs]
-        if baked:
-            band_refs = [[jnp.asarray(m) for m in ms] for ms in band_np]
-            out_ref = refs[n_coeffs]
-        else:
-            band_refs = refs[n_coeffs : n_coeffs + levels]
-            out_ref = refs[n_coeffs + levels]
+        band_refs = refs[n_coeffs : n_coeffs + levels]
+        out_ref = refs[n_coeffs + levels]
         scratch, sems = refs[-2:]
         bi = pl.program_id(0)
         t = pl.program_id(1)
@@ -396,8 +418,7 @@ def _mxu_synthesis_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_coeffs
-        + ([] if baked else
-           [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)]),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(levels)],
         out_specs=pl.BlockSpec(
             (b_tile, tile_rows, _LANES),
             lambda bi, t: (bi, t, 0),
@@ -418,8 +439,16 @@ def _mxu_synthesis_call(
     return out
 
 
-def run_analysis_mxu(x, levels, filters, periodic, tile, precision, interpret):
-    """[B, N] analysis through the banded-matmul kernel; arbitrary N."""
+def run_analysis_mxu(x, levels, filters, periodic, tile, precision, interpret,
+                     symmetric=False):
+    """[B, N] analysis through the cascade banded-matmul kernel; arbitrary N.
+
+    ``symmetric=True`` (with ``periodic=False``): per-level half-point mirror
+    of the evolving approximation at the signal start, matching the jnp
+    symmetric cascade exactly.  The composite kernel cannot serve this mode
+    (a per-level mirror is not a filter composition), so symmetric analysis
+    keeps the cascade formulation.
+    """
     b, n = x.shape
     filter_length = len(filters[0])
     # multiple of 8 so window reshapes and halo-offset slices stay
@@ -449,6 +478,7 @@ def run_analysis_mxu(x, levels, filters, periodic, tile, precision, interpret):
         halo_rows=halo_rows,
         precision=precision,
         interpret=interpret,
+        symmetric=symmetric,
     )
     outs = tuple(_from_rows(o)[..., :n] for o in outs)
     return outs

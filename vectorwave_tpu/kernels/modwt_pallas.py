@@ -164,17 +164,36 @@ def fused_analysis(
 
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
-    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):
+    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")
+            or boundary_l.startswith("sym")):
         from ..errors import ErrorCode, InvalidArgumentError
 
         raise InvalidArgumentError(
             ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
-            "Fused Pallas analysis supports periodic/zero boundaries",
-            suggestions=("Use modwt_multilevel() for symmetric boundaries",),
+            f"Unknown boundary for fused analysis: {boundary!r}",
+            suggestions=("Use 'periodic', 'zero' or 'symmetric'",),
         )
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
+    if boundary_l.startswith("sym"):
+        # Symmetric runs the cascade kernel with per-level edge mirrors.
+        # No custom VJP: the mirror breaks the analysis/synthesis transpose
+        # relation, so this path is not differentiable — use backend='jnp'
+        # for gradients through symmetric transforms.
+        from ..config import get_fused_precision
+        from .modwt_mxu import run_analysis_mxu
+
+        outs = run_analysis_mxu(
+            x, levels, _kernel_filters(w, synthesis=False), False, tile,
+            precision or get_fused_precision(), interpret, symmetric=True,
+        )
+        details = outs[:levels]
+        approx = outs[levels]
+        if squeeze:
+            details = tuple(d[0] for d in details)
+            approx = approx[0]
+        return details, approx
     outs = _analysis_core(
         x,
         levels,

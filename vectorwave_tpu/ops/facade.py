@@ -19,19 +19,24 @@ import numpy as np
 
 from .convolve import atrous_convolve, fft_circular_convolve
 
-#: FFT threshold on the BASE filter length (reference heuristics key on the
-#: upsampled length, FftHeuristics: N>=1024 && L > N/8; our kernels never
-#: touch inserted zeros, so only the base-tap count matters).
+#: FFT threshold on the BASE filter length.  The reference keys on the
+#: upsampled length (FftHeuristics: N>=1024 && L > N/8) — a rule that is
+#: unsatisfiable for base filters (L <= 62 implies N <= 496 < 1024), i.e. the
+#: reference's MODWT FFT path can never trigger from its own heuristic.  Our
+#: kernels never touch the inserted zeros, so only the base tap count
+#: matters, and the measured crossover on a v5e chip
+#: (tools/probe_fft_crossover.py, 16x65536 f32) shows the rolled form
+#: matching the rfft pipeline even at dmey's 62 taps: roll ~760-1100 Ms/s
+#: vs FFT ~750-770 Ms/s flat.  FFT therefore engages only for custom
+#: registered filters longer than any built-in family.
 FFT_MIN_SIGNAL = 1024
-FFT_MIN_FILTER_RATIO = 8
+FFT_MIN_TAPS = 64
 
 
 def should_use_fft(signal_length: int, base_filter_length: int) -> bool:
-    """FFT-vs-direct routing (FftHeuristics.shouldUseModwtFFT :30-34)."""
-    return (
-        signal_length >= FFT_MIN_SIGNAL
-        and base_filter_length > signal_length / FFT_MIN_FILTER_RATIO
-    )
+    """FFT-vs-direct routing (role of FftHeuristics.shouldUseModwtFFT :30-34,
+    re-derived for TPU; crossover measured on chip — see module constant)."""
+    return base_filter_length >= FFT_MIN_TAPS and signal_length >= FFT_MIN_SIGNAL
 
 
 def circular_convolve_modwt(

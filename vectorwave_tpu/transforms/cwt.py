@@ -139,6 +139,30 @@ def _device_bank_spec(
     return jnp.conj(spec)
 
 
+class CWTConfig(NamedTuple):
+    """CWT engine options (``cwt/CWTConfig.java:29-51`` role).
+
+    The reference's knobs map as: ``boundaryMode`` -> ``boundary``;
+    ``shouldUseFFT`` + the ``vectorwave.cwt.fft.threshold`` property ->
+    ``method='auto'`` with ``fft_threshold``; ``fftSize`` (0 = auto) ->
+    ``fft_size`` (validated against the linear-convolution minimum);
+    ``normalizeAcrossScales`` is baked into the bank (1/sqrt(s) sampling);
+    ``useStructuredConcurrency``/``memoryPool`` are JVM artifacts absorbed
+    by XLA (scales batch on one device; buffers are XLA's).
+    """
+
+    boundary: str = "zero"
+    method: str = "auto"  # auto | fft | direct
+    fft_threshold: int = 64  # auto: FFT path when N >= threshold
+    fft_size: int = 0  # 0 = auto (nextpow2(N + support - 1); N if periodic)
+    analytic: bool = False
+
+    def resolve_method(self, n: int) -> str:
+        if self.method == "auto":
+            return "fft" if n >= self.fft_threshold else "direct"
+        return self.method
+
+
 def cwt(
     x: jnp.ndarray,
     scales: Sequence[float],
@@ -147,6 +171,7 @@ def cwt(
     method: str = "fft",
     analytic: bool = False,
     boundary: str = "zero",
+    config: CWTConfig | None = None,
 ) -> CWTResult:
     """Continuous wavelet transform (``CWTTransform.analyze`` :71-79).
 
@@ -171,11 +196,24 @@ def cwt(
             ErrorCode.VAL_TOO_SHORT, "All scales must be positive", context={"scales": scales}
         )
     n = x.shape[-1]
+    if config is not None:
+        boundary = config.boundary
+        analytic = config.analytic
+        method = config.resolve_method(n)
     if boundary == "periodic":
         fft_size = n
     else:
         max_support = max(2 * _half_support(s, w.bandwidth) + 1 for s in scales)
         fft_size = _next_pow2(n + max_support - 1)
+    if config is not None and config.fft_size:
+        if config.fft_size < fft_size:
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                f"fft_size {config.fft_size} below the linear-convolution "
+                f"minimum {fft_size}",
+                suggestions=("Use fft_size=0 for automatic sizing",),
+            )
+        fft_size = config.fft_size
     if fft_size > _BAKED_BANK_MAX_FFT:
         bank = None
         is_complex = bool(np.iscomplexobj(np.asarray(w.psi(np.zeros(1)))))

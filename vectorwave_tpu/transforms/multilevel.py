@@ -129,9 +129,17 @@ def _resolve_backend(backend: str | None, eligible) -> bool:
     return eligible()
 
 
-def _pallas_eligible(x: jnp.ndarray, w: DiscreteWavelet, levels: int, boundary: str) -> bool:
+def _pallas_eligible(
+    x: jnp.ndarray,
+    w: DiscreteWavelet,
+    levels: int,
+    boundary: str,
+    synthesis: bool = False,
+) -> bool:
     """Whether the fused Pallas path can serve this call (TPU backend, f32/bf16,
-    periodic/zero boundary, filter halo fits the tile budget)."""
+    filter halo fits the tile budget).  Symmetric boundaries are served for
+    ANALYSIS only (cascade kernel with per-level edge mirrors); the
+    alignment-shifted symmetric inverse stays on the jnp path."""
     from ..config import get_backend
 
     backend = get_backend()
@@ -143,7 +151,9 @@ def _pallas_eligible(x: jnp.ndarray, w: DiscreteWavelet, levels: int, boundary: 
         return False
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
-    if not (boundary.lower().startswith("per") or boundary.lower().startswith("zero")):
+    b = boundary.lower()
+    if not (b.startswith("per") or b.startswith("zero")
+            or (b.startswith("sym") and not synthesis)):
         return False
     if levels < 2:
         return False
@@ -325,9 +335,13 @@ def imodwt_multilevel(
     w = _resolve_discrete(wavelet)
     use_pallas = _resolve_backend(
         backend,
-        lambda: _pallas_eligible(result.approx, w, result.levels, boundary),
+        lambda: _pallas_eligible(
+            result.approx, w, result.levels, boundary, synthesis=True
+        ),
     )
     if use_pallas:
+        # (forced backend='pallas' + symmetric reaches fused_synthesis,
+        # which raises — auto routing excludes it via synthesis=True above)
         from ..kernels.modwt_pallas import fused_synthesis
 
         n = result.approx.shape[-1]
