@@ -45,11 +45,11 @@ def main() -> None:
 
     # --- long-signal tiling: one 64K signal across 8 devices ---------------
     mesh = make_mesh({"signal": 8}, devices=devices[:8])
-    x = jnp.asarray(rng.standard_normal(65536), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(16384), dtype=jnp.float32)
     res = modwt_multilevel_tiled(
-        x, "db4", levels=5, mesh=mesh, boundary="symmetric"
+        x, "db4", levels=4, mesh=mesh, boundary="symmetric"
     )
-    single = vw.modwt_multilevel(x, "db4", levels=5, boundary="symmetric")
+    single = vw.modwt_multilevel(x, "db4", levels=4, boundary="symmetric")
     dev = float(jnp.max(jnp.abs(res.approx - single.approx)))
     print(f"tiled symmetric analysis vs single-device: {dev:.2e}")
     xr = imodwt_multilevel_tiled(res, "db4", mesh=mesh, boundary="symmetric")

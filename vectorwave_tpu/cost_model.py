@@ -23,9 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 #: conservative default sustained throughputs (samples/sec) per platform for
-#: a 6-level f32 round trip; replaced by calibrate() measurements.
+#: a 6-level f32 round trip; replaced by calibrate() measurements.  The TPU
+#: default is the measured v5e composite-MXU rate at the default bf16_3x
+#: precision (tools/perf_final.py, dispatch overhead amortized).
 _DEFAULT_THROUGHPUT = {
-    "tpu": 1.2e9,
+    "tpu": 4.1e9,
     "cpu": 2.0e7,
     "gpu": 3.0e8,
 }

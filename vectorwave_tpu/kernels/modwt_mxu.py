@@ -37,15 +37,12 @@ Accuracy/throughput measured on chip in tools/perf_probe_mxu.py.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .modwt_pallas import _round_up
-
-_INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 _LANES = 128
 
