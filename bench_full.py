@@ -142,6 +142,42 @@ def main():
                   file=sys.stderr, flush=True)
             results.append((name, None, ref_core, ref_ext, src))
 
+    # --- BASELINE.json config rows not shaped like a reference table row ---
+    baseline_rows = []
+
+    def swt_denoise_cfg3(x):  # config #3: sym8 4-level SYMMETRIC + denoise
+        res = vw.swt(x, "sym8", levels=4, boundary="symmetric")
+        res = vw.apply_universal_threshold(res, mode="soft")
+        return vw.iswt(res, "sym8", boundary="symmetric")
+
+    def batch_cfg4(x):  # config #4: 256 x 16K batch MODWT
+        res = vw.modwt_multilevel(x, "db4", levels=6)
+        return vw.imodwt_multilevel(res, "db4")
+
+    def cwt_cfg5(x):  # config #5: Morlet 64-scale on a 1M-sample signal
+        sc = tuple(np.geomspace(2.0, 4096.0, 64).tolist())
+        res = vw.cwt(x, sc, "morl", boundary="periodic")
+        return 1e-3 * res.coeffs.sum(axis=-2).astype(x.dtype) + x
+
+    for name, fn, x0, iters in (
+        ("cfg3 SWT sym8 4-level symmetric denoise 16K", swt_denoise_cfg3,
+         sig(16384), 300),
+        ("cfg4 batch 256x16K db4 6-level roundtrip", batch_cfg4,
+         sig(16384, 256), 50),
+        ("cfg5 CWT morl 64-scale 1M samples", cwt_cfg5, sig(1 << 20), 20),
+    ):
+        try:
+            ms = _measure_ms(fn, x0, iters, rb1)
+            extra = ""
+            if "cfg4" in name:
+                extra = f" ({256 * 16384 / ms / 1e3:.0f} Msamples/s)"
+            baseline_rows.append((name, ms, extra))
+            print(f"{name}: {ms:.4f} ms{extra}", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:160]}",
+                  file=sys.stderr, flush=True)
+            baseline_rows.append((name, None, ""))
+
     # streaming per-sample latency: one sliding window step per
     # buffer_size-overlap new samples
     buffer_size, wavelet = 512, "db4"
@@ -199,6 +235,18 @@ def main():
         f"Streaming (sliding window 512, db4): **{per_sample_us:.3f} "
         "µs/sample** (reference fast-mode target < 1 µs/sample, "
         "docs/ARCHITECTURE.md:110).",
+        "",
+        "## BASELINE.json configs (on-chip latency per transform)",
+        "",
+        "| config | ours (ms) |",
+        "|---|---|",
+    ]
+    for name, ms, extra in baseline_rows:
+        val = "FAILED" if ms is None else f"{ms:.4f}{extra}"
+        lines.append(f"| {name} | {val} |")
+        if ms is not None:
+            summary[name] = round(ms, 4)
+    lines += [
         "",
         "Throughput-shaped numbers (batch 128 x 64K, measured HBM roofline, "
         "precision ladder) are in BENCH_r*.json / bench.py.",
