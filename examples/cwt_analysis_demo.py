@@ -45,7 +45,11 @@ def main() -> None:
 
     # --- analytic (Hilbert) coefficients for phase -------------------------
     res_c = vw.cwt(x, (8.0,), "morl", analytic=True)
-    inst_phase = np.unwrap(np.angle(np.asarray(res_c.coeffs[0, 500:1500])))
+    # pull real/imag separately (some remote runtimes cannot transfer
+    # complex arrays to the host)
+    seg = res_c.coeffs[0, 500:1500]
+    cvals = np.asarray(seg.real) + 1j * np.asarray(seg.imag)
+    inst_phase = np.unwrap(np.angle(cvals))
     print(f"analytic path: phase advances monotonically: "
           f"{bool(np.median(np.diff(inst_phase)) > 0)}")
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..denoise import denoise_multilevel
+from ..ops.convolve import host_complex
 from ..transforms.cwt import cwt, scales_log
 from ..transforms.multilevel import max_levels, modwt_multilevel
 
@@ -210,7 +211,7 @@ def detect_market_crashes(
     rets = _returns(prices)
     n = len(rets)
     scales = scales_log(2.0, max(8.0, n / 16.0), 16)
-    coeffs = np.asarray(cwt(jnp.asarray(rets), scales, f"paul{paul_order}").coeffs)
+    coeffs = host_complex(cwt(jnp.asarray(rets), scales, f"paul{paul_order}").coeffs)
     # crash severity: magnitude of fine-scale response where returns are negative
     fine = np.abs(coeffs[: len(scales) // 2]).mean(axis=0)
     severity = fine * (rets < 0)

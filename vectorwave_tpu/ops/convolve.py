@@ -68,6 +68,35 @@ def _deltas(n_taps: int, spacing: int, sign: int, offset: int) -> list[int]:
     return [offset + sign * spacing * k for k in range(n_taps)]
 
 
+def device_complex(arr, complex_dtype) -> jnp.ndarray:
+    """Host complex constant -> device array, without any complex transfer.
+
+    Some remote TPU runtimes cannot move complex buffers between host and
+    device at all ("UNIMPLEMENTED"), and in eager mode even ``re + 1j*im``
+    fails because the scalar ``1j`` is itself a complex constant that must be
+    shipped. ``lax.complex`` assembles the value on device from two real
+    transfers, which works everywhere and folds to the same constant under
+    jit.
+    """
+    arr = np.asarray(arr)
+    real_dtype = np.float64 if complex_dtype == jnp.complex128 else np.float32
+    re = jnp.asarray(np.real(arr).astype(real_dtype))
+    im = jnp.asarray(np.imag(arr).astype(real_dtype))
+    return jax.lax.complex(re, im).astype(complex_dtype)
+
+
+def host_complex(arr: jnp.ndarray) -> np.ndarray:
+    """Complex device array -> host ndarray, via two real transfers.
+
+    The device->host direction of the same runtime limitation handled by
+    :func:`device_complex`: pull ``.real``/``.imag`` (device-side projections)
+    separately and recombine on the host.
+    """
+    if not jnp.iscomplexobj(arr):
+        return np.asarray(arr)
+    return np.asarray(arr.real) + 1j * np.asarray(arr.imag)
+
+
 def fft_circular_convolve(
     x: jnp.ndarray,
     filt: np.ndarray,
@@ -96,7 +125,7 @@ def fft_circular_convolve(
     if sign > 0:  # adjoint/correlation
         spec_h = np.conj(spec_h)
     spec_x = jnp.fft.rfft(x, axis=-1)
-    out = jnp.fft.irfft(spec_x * jnp.asarray(spec_h), n=n, axis=-1)
+    out = jnp.fft.irfft(spec_x * device_complex(spec_h, spec_x.dtype), n=n, axis=-1)
     return out.astype(x.dtype)
 
 
@@ -122,7 +151,7 @@ def fft_analysis_pair(
         for start in range(0, length, n):
             chunk = h_up[start : start + n]
             h_pad[: len(chunk)] += chunk
-        return jnp.asarray(np.fft.rfft(h_pad))
+        return device_complex(np.fft.rfft(h_pad), spec_x.dtype)
 
     approx = jnp.fft.irfft(spec_x * spec_of(low), n=n, axis=-1)
     detail = jnp.fft.irfft(spec_x * spec_of(high), n=n, axis=-1)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import ErrorCode, InvalidArgumentError
+from ..ops.convolve import device_complex as _device_complex
 from ..wavelets.base import ContinuousWavelet
 from ..wavelets.registry import as_wavelet
 
@@ -126,7 +127,7 @@ def _device_bank_spec(
         half = _half_support(scale, w.bandwidth)
         k = np.arange(-half, half + 1)
         vals = np.asarray(w.psi(k / scale), dtype=np.complex128) / math.sqrt(scale)
-        taps = jnp.asarray(vals, dtype=complex_dtype)
+        taps = _device_complex(vals, complex_dtype)
         row = jnp.zeros(fft_size, dtype=complex_dtype)
         row = row.at[: half + 1].add(taps[half:])
         row = row.at[fft_size - half :].add(taps[:half])
@@ -240,12 +241,14 @@ def cwt(
             # analytic signal: double positive freqs, zero negative
             freq = np.fft.fftfreq(fft_size)
             mult = np.where(freq > 0, 2.0, np.where(freq == 0, 1.0, 0.0))
-            spec_x = spec_x * jnp.asarray(mult, dtype=complex_dtype)
+            spec_x = spec_x * jnp.asarray(mult, dtype=real_dtype).astype(
+                complex_dtype
+            )
         if big:
             bank_spec = _device_bank_spec(w, scales, fft_size, False, complex_dtype)
         else:
-            bank_spec = jnp.asarray(
-                np.conj(np.fft.fft(bank, axis=-1)), dtype=complex_dtype
+            bank_spec = _device_complex(
+                np.conj(np.fft.fft(bank, axis=-1)), complex_dtype
             )
         prod = spec_x[..., None, :] * bank_spec
         out = jnp.fft.ifft(prod, axis=-1)[..., :n]
@@ -255,8 +258,8 @@ def cwt(
     if big:
         bank_spec = _device_bank_spec(w, scales, fft_size, True, complex_dtype)
     else:
-        bank_spec = jnp.asarray(
-            np.conj(np.fft.rfft(bank.real, axis=-1)), dtype=complex_dtype
+        bank_spec = _device_complex(
+            np.conj(np.fft.rfft(bank.real, axis=-1)), complex_dtype
         )
     prod = spec_x[..., None, :] * bank_spec
     out = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
@@ -295,7 +298,9 @@ def _cwt_direct(
     # correlation: out[s, i] = sum_k x[i+k'] psi*((k'-...)/s); flip for conv
     flipped = bank[:, ::-1]
     if complex_out:
-        return conv(flipped.real) + 1j * conv(-flipped.imag)
+        # lax.complex, not `re + 1j*im`: the scalar 1j is a complex constant
+        # that some remote runtimes cannot transfer to the device in eager mode
+        return jax.lax.complex(conv(flipped.real), conv(-flipped.imag))
     return conv(flipped.real)
 
 
@@ -413,7 +418,9 @@ def icwt(
     inv = np.where(mag > floor, 1.0 / np.where(mag > floor, g, 1.0), 0.0)
     spec = jnp.fft.rfft(acc, axis=-1)
     complex_dtype = jnp.complex128 if acc.dtype == jnp.float64 else jnp.complex64
-    out = jnp.fft.irfft(spec * jnp.asarray(inv, dtype=complex_dtype), n=n, axis=-1)
+    out = jnp.fft.irfft(
+        spec * _device_complex(inv, complex_dtype), n=n, axis=-1
+    )
     return out.astype(acc.dtype)
 
 

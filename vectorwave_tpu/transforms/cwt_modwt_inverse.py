@@ -60,7 +60,9 @@ def _calibrated_gains(
     rng = np.random.default_rng(999)
     x = rng.standard_normal(n)
     res = cwt(jnp.asarray(x), scales, w_cwt, boundary="periodic")
-    coeffs = np.real(np.asarray(res.coeffs))
+    # device-side .real projection: complex device->host transfers are
+    # UNIMPLEMENTED on some remote runtimes
+    coeffs = np.asarray(jnp.real(res.coeffs))
     mapping = _level_scale_map(scales, w_cwt.center_frequency, levels)
     from .multilevel import modwt_multilevel
 
