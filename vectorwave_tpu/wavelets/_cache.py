@@ -33,7 +33,9 @@ def cached_filter(key: str, generate: Callable[[], np.ndarray]) -> np.ndarray:
     except (OSError, ValueError):
         pass
     arr = np.asarray(generate(), dtype=np.float64)
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # tmp name must END in .npy: np.save appends the suffix otherwise, which
+    # silently broke the rename (and thus the whole cache) before
+    tmp = f"{path}.{os.getpid()}.tmp.npy"
     try:
         np.save(tmp, arr)
         os.replace(tmp, path)

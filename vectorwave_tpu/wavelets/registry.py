@@ -111,9 +111,23 @@ def wavelets_of_type(wtype: WaveletType) -> list[str]:
     return [n for n in sorted(_FACTORIES) if wavelet(n).wavelet_type is wtype]
 
 
+#: short registry prefixes accepted as family aliases (PyWavelets-style)
+_FAMILY_SHORT = {
+    "db": "daubechies",
+    "sym": "symlet",
+    "coif": "coiflet",
+    "bior": "biorthogonalspline",
+    "rbio": "reversebiorthogonalspline",
+    "blem": "battlelemarie",
+    "dmey": "discretemeyer",
+}
+
+
 def wavelets_in_family(family: str) -> list[str]:
-    """Names in a family, e.g. 'Daubechies' (cf. getDaubechiesWavelets :260)."""
+    """Names in a family; accepts the full family name ('Daubechies') or the
+    short name prefix ('db') (cf. getDaubechiesWavelets :260)."""
     fam = family.lower()
+    fam = _FAMILY_SHORT.get(fam, fam)
     return [n for n in sorted(_FACTORIES) if wavelet(n).family.lower() == fam]
 
 
