@@ -153,6 +153,74 @@ def test_sharded_batch_facade(mesh_2d):
     assert sharded.sharding.spec[0] == "data"
 
 
+def test_multihost_mesh_and_parity():
+    """("host","chip") mesh: batch over hosts, signal over chips — output
+    must bit-match the single-device transform for every boundary mode."""
+    from vectorwave_tpu.parallel import (
+        imodwt_multilevel_multihost,
+        make_multihost_mesh,
+        modwt_multilevel_multihost,
+    )
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    assert mesh.shape == {"host": 2, "chip": 4}
+    batch = np.stack([composite_sin(512, seed=s, noise_std=0.2) for s in range(4)])
+    x = jnp.asarray(batch)
+    for boundary in ("periodic", "zero", "symmetric"):
+        res = modwt_multilevel_multihost(
+            x, "db4", levels=3, mesh=mesh, boundary=boundary
+        )
+        single = vw.modwt_multilevel(x, "db4", levels=3, boundary=boundary)
+        for a, b in zip(res.details, single.details):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(res.approx), np.asarray(single.approx), atol=1e-12
+        )
+        xr = imodwt_multilevel_multihost(res, "db4", mesh=mesh, boundary=boundary)
+        single_inv = vw.imodwt_multilevel(single, "db4", boundary=boundary)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(single_inv), atol=1e-11)
+
+
+def test_multihost_batch_stays_sharded():
+    """The transform must not gather the batch over the host axis: output
+    sharding keeps the leading axis on "host"."""
+    from vectorwave_tpu.parallel import make_multihost_mesh, modwt_multilevel_multihost
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    x = jnp.asarray(np.stack([composite_sin(512, seed=s) for s in range(4)]))
+    res = modwt_multilevel_multihost(x, "haar", levels=2, mesh=mesh)
+    spec = res.approx.sharding.spec
+    assert spec[0] == "host" and spec[-1] == "chip"
+
+
+def test_multihost_validation():
+    from vectorwave_tpu.parallel import make_multihost_mesh, modwt_multilevel_multihost
+
+    with pytest.raises(vw.InvalidArgumentError):
+        make_multihost_mesh(n_hosts=16)
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    with pytest.raises(vw.InvalidArgumentError):  # 1-D input
+        modwt_multilevel_multihost(jnp.zeros(512), "db4", levels=2, mesh=mesh)
+    with pytest.raises(vw.InvalidArgumentError):  # batch not divisible by hosts
+        modwt_multilevel_multihost(jnp.zeros((3, 512)), "db4", levels=2, mesh=mesh)
+
+
+def test_communication_report():
+    from vectorwave_tpu.parallel import communication_report, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    rep = communication_report(mesh, "db4", levels=3, n=4096, batch=4)
+    # db4: L0=8 -> halos 7, 14, 28
+    assert rep.per_level_halo_samples == (7, 14, 28)
+    assert rep.dcn_bytes_per_host == 0
+    assert rep.ici_bytes_per_chip == (7 + 14 + 28) * 2 * 4  # local_batch=2, f32
+    assert 0 < rep.ici_fraction_of_compute_bytes < 1
+    two_sided = communication_report(
+        mesh, "db4", levels=3, n=4096, batch=4, direction="inverse_symmetric"
+    )
+    assert two_sided.ici_bytes_per_chip == 2 * rep.ici_bytes_per_chip
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as graft
 

@@ -113,7 +113,8 @@ def calibrate(
     from .transforms.multilevel import imodwt_multilevel, modwt_multilevel
 
     dev = jax.devices()[0]
-    dtype = jnp.float32 if dev.platform != "cpu" else jnp.float64
+    use_f64 = dev.platform == "cpu" and jax.config.jax_enable_x64
+    dtype = jnp.float64 if use_f64 else jnp.float32
     rates = []
     for n in sizes:
         x = jnp.asarray(

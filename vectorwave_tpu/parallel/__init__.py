@@ -6,6 +6,13 @@ from .tiled import (
     tiled_roundtrip_check,
 )
 from .cwt_tiled import cwt_tiled
+from .multihost import (
+    CommunicationReport,
+    communication_report,
+    imodwt_multilevel_multihost,
+    make_multihost_mesh,
+    modwt_multilevel_multihost,
+)
 
 __all__ = [
     "cwt_tiled",
@@ -16,4 +23,9 @@ __all__ = [
     "modwt_multilevel_tiled",
     "imodwt_multilevel_tiled",
     "tiled_roundtrip_check",
+    "make_multihost_mesh",
+    "modwt_multilevel_multihost",
+    "imodwt_multilevel_multihost",
+    "communication_report",
+    "CommunicationReport",
 ]

@@ -98,11 +98,15 @@ def modwt_multilevel_tiled(
     mesh: Mesh,
     axis: str = "signal",
     boundary: str = "periodic",
+    batch_axis: str | None = None,
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT of a signal sharded along its LAST axis.
 
     Bit-parity with the single-device ``modwt_multilevel`` for every
     boundary mode; communication is one halo exchange per level over ICI.
+    ``batch_axis`` optionally shards the FIRST axis over a second mesh axis
+    (e.g. batch over a DCN "host" axis — see :mod:`.multihost`); halos only
+    ever ``ppermute`` over ``axis``.
     """
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
@@ -157,7 +161,7 @@ def modwt_multilevel_tiled(
             cur = approx[..., -n_loc:]
         return tuple(details), cur
 
-    spec = P(*([None] * (x.ndim - 1)), axis)
+    spec = _tile_spec(x.ndim, axis, batch_axis)
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
@@ -169,6 +173,19 @@ def modwt_multilevel_tiled(
     return MultiLevelMODWTResult(tuple(details), approx)
 
 
+def _tile_spec(ndim: int, axis: str, batch_axis: str | None) -> P:
+    """PartitionSpec tiling the last axis; optionally batch over the first."""
+    if batch_axis is None:
+        return P(*([None] * (ndim - 1)), axis)
+    if ndim < 2:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            "batch_axis sharding needs a leading batch dimension",
+            suggestions=("Add a batch axis or drop batch_axis",),
+        )
+    return P(batch_axis, *([None] * (ndim - 2)), axis)
+
+
 def imodwt_multilevel_tiled(
     result: MultiLevelMODWTResult,
     wavelet,
@@ -176,6 +193,7 @@ def imodwt_multilevel_tiled(
     mesh: Mesh,
     axis: str = "signal",
     boundary: str = "periodic",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Inverse of :func:`modwt_multilevel_tiled`, all three boundary modes.
 
@@ -270,7 +288,7 @@ def imodwt_multilevel_tiled(
         return cur
 
     ndim = result.approx.ndim
-    spec = P(*([None] * (ndim - 1)), axis)
+    spec = _tile_spec(ndim, axis, batch_axis)
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
