@@ -202,11 +202,16 @@ def complex_gaussian(order: int = 1) -> ContinuousWavelet:
             -t * t
         )
 
+    # Spectral peak of |psi_hat|: with psi = d^n/dt^n [e^{-it} e^{-t^2}],
+    # |psi_hat(w)| ~ w^n e^{-(w-1)^2/4}, maximized at w* = (1+sqrt(1+8n))/2.
+    # (The reference's sqrt(n+1/2)/(sigma*sqrt(2pi)) formula,
+    # ComplexGaussianWavelet.java:169, describes its UNmodulated variant.)
+    w_peak = (1.0 + math.sqrt(1.0 + 8.0 * order)) / 2.0
     return ContinuousWavelet(
         name=f"cgau{order}",
         family="ComplexGaussian",
         psi=_l2_normalized(raw, True),
-        center_frequency=(1.0 + math.sqrt(order)) / (2 * math.pi),
+        center_frequency=w_peak / (2 * math.pi),
         bandwidth=1.0,
         is_complex=True,
         description=f"Complex Gaussian wavelet of order {order}",
