@@ -25,7 +25,8 @@ def test_example_runs(script, capsys):
     runpy.run_path(str(script), run_name="__main__")
     out = capsys.readouterr().out
     assert out.strip(), f"{script.name} produced no output"
-    assert "error" not in out.lower() or "round-trip error" in out.lower()
+    # exceptions propagate through runpy; this only catches printed ones
+    assert "traceback" not in out.lower()
 
 
 def _synthetic_ticks(n=5000, seed=21):

@@ -150,7 +150,7 @@ def fused_analysis(
     levels: int,
     boundary: str = "periodic",
     tile: int = 65536,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
 ):
     """Fused J-level MODWT analysis: returns (details tuple, approx).
@@ -159,9 +159,13 @@ def fused_analysis(
     per-level mirror of the evolving approximation — use the jnp path).
     Results are fp32-equivalent to ``modwt_multilevel`` (summation-order
     rounding only).  Differentiable: the VJP is one fused synthesis pass.
+    ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
+    (so forced ``backend='pallas'`` stays portable).
     """
     from ..transforms.modwt import _resolve_discrete
 
+    if interpret is None:
+        interpret = not pallas_available()
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
     if not (boundary_l.startswith("per") or boundary_l.startswith("zero")
@@ -218,13 +222,16 @@ def fused_synthesis(
     *,
     boundary: str = "periodic",
     tile: int = 65536,
-    interpret: bool = False,
+    interpret: bool | None = None,
     precision: str | None = None,
 ) -> jnp.ndarray:
     """Fused J-level inverse MODWT from (details, approx); adjoint of
-    :func:`fused_analysis` (periodic / zero boundaries)."""
+    :func:`fused_analysis` (periodic / zero boundaries).  ``interpret=None``
+    auto-selects: compiled on TPU, interpreter elsewhere."""
     from ..transforms.modwt import _resolve_discrete
 
+    if interpret is None:
+        interpret = not pallas_available()
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
     if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):

@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import ErrorCode, InvalidArgumentError
 from ..transforms.cwt import CWTResult, _half_support, _resolve_continuous, cwt
-from .tiled import _gather_halo, _ring_perms
+from .tiled import _cached_program, _gather_halo, _ring_perms
 
 
 def cwt_tiled(
@@ -78,7 +78,13 @@ def cwt_tiled(
     ndim = x.ndim
     in_spec = P(*([None] * (ndim - 1)), axis)
     out_spec = P(*([None] * (ndim - 1)), None, axis)  # scale axis replicated
-    fn = jax.shard_map(shard_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec)
+    fn = _cached_program(
+        ("cwt", w.name, w.center_frequency, w.bandwidth, scales, mesh, axis,
+         boundary.lower(), analytic, ndim),
+        lambda: jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
+        ),
+    )
     x = jax.device_put(x, NamedSharding(mesh, in_spec))
     coeffs = fn(x)
     return CWTResult(coeffs, scales, boundary)

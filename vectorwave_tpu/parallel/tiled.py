@@ -16,10 +16,11 @@ is exact); ZERO drops the wrap link — ``ppermute`` zero-fills missing
 sources, which IS the zero extension; SYMMETRIC mirrors the edge shards'
 own data.  Halos wider than one shard (deep levels) are gathered hop-by-hop.
 
-Multi-level cascades therefore stay bit-exact with the single-device
-transform: config #5-style 1M-sample signals decompose across a slice with
-per-level halos of (L0-1)*2^(j-1) samples — e.g. 224 samples/boundary for a
-6-level db4.
+Multi-level cascades therefore match the single-device transform to
+machine precision (op order inside the compiled program may differ):
+config #5-style 1M-sample signals decompose across a slice with per-level
+halos of (L0-1)*2^(j-1) samples — e.g. 224 samples/boundary for a 6-level
+db4.
 """
 
 from __future__ import annotations
@@ -40,6 +41,26 @@ from ..transforms.multilevel import (
 )
 
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
+
+# One compiled program per static configuration.  Without this, every call
+# re-executes the shard_map EAGERLY — per-op dispatch across all shards costs
+# seconds on a virtual mesh; under jit the whole cascade is one XLA program.
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 256
+
+
+def _cached_program(key, build):
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.clear()
+        fn = _PROGRAM_CACHE[key] = jax.jit(build())
+    return fn
+
+
+def _wavelet_key(w) -> tuple:
+    return (w.name, w.dec_lo.tobytes(), w.dec_hi.tobytes(),
+            w.rec_lo.tobytes(), w.rec_hi.tobytes())
 
 
 def _ring_perms(axis: str, mesh: Mesh, wrap: bool):
@@ -102,8 +123,9 @@ def modwt_multilevel_tiled(
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT of a signal sharded along its LAST axis.
 
-    Bit-parity with the single-device ``modwt_multilevel`` for every
-    boundary mode; communication is one halo exchange per level over ICI.
+    Machine-precision parity with the single-device ``modwt_multilevel``
+    for every boundary mode; communication is one halo exchange per level
+    over ICI.
     ``batch_axis`` optionally shards the FIRST axis over a second mesh axis
     (e.g. batch over a DCN "host" axis — see :mod:`.multihost`); halos only
     ever ``ppermute`` over ``axis``.
@@ -162,11 +184,15 @@ def modwt_multilevel_tiled(
         return tuple(details), cur
 
     spec = _tile_spec(x.ndim, axis, batch_axis)
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(spec,),
-        out_specs=(tuple(spec for _ in range(levels)), spec),
+    fn = _cached_program(
+        ("fwd", _wavelet_key(w), levels, mesh, axis, boundary_l, batch_axis,
+         x.ndim),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(tuple(spec for _ in range(levels)), spec),
+        ),
     )
     x = jax.device_put(x, NamedSharding(mesh, spec))
     details, approx = fn(x)
@@ -289,11 +315,15 @@ def imodwt_multilevel_tiled(
 
     ndim = result.approx.ndim
     spec = _tile_spec(ndim, axis, batch_axis)
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(tuple(spec for _ in range(levels)), spec),
-        out_specs=spec,
+    fn = _cached_program(
+        ("inv", _wavelet_key(w), levels, mesh, axis, boundary_l, batch_axis,
+         ndim),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(tuple(spec for _ in range(levels)), spec),
+            out_specs=spec,
+        ),
     )
     return fn(result.details, result.approx)
 
