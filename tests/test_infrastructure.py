@@ -123,3 +123,21 @@ def test_fft_routing_is_wired_into_modwt():
     )
     np.testing.assert_allclose(np.asarray(res_fft.approx), np.asarray(a), atol=1e-9)
     np.testing.assert_allclose(np.asarray(res_fft.detail), np.asarray(d), atol=1e-9)
+
+
+def test_validation_edge_cases():
+    """Structured errors for degenerate inputs (ValidationUtils analogue)."""
+    import jax.numpy as jnp
+    import pytest
+
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.streaming import streaming_init
+
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.cwt(jnp.ones(64), (), "morl")  # no scales
+    with pytest.raises(vw.InvalidSignalError):
+        vw.cwt(jnp.zeros(0), (2.0,), "morl")  # empty signal
+    with pytest.raises(vw.InvalidArgumentError):
+        streaming_init("db4", 0)  # levels < 1
+    with pytest.raises(vw.InvalidArgumentError):
+        streaming_init("db4", -3)

@@ -61,6 +61,13 @@ def streaming_init(
     dtype=jnp.float32,
 ) -> StreamingState:
     """Zero-history initial state (zero-padding parity for the first block)."""
+    if levels < 1:
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_LEVEL,
+            f"levels must be >= 1, got {levels}",
+        )
     w = _resolve_discrete(wavelet)
     histories = tuple(
         jnp.zeros(batch_shape + (history_length(w.filter_length, j),), dtype=dtype)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import ErrorCode, InvalidArgumentError
+from ..errors import ErrorCode, InvalidArgumentError, InvalidSignalError
 from ..ops.convolve import device_complex as _device_complex
 from ..wavelets.base import ContinuousWavelet
 from ..wavelets.registry import as_wavelet
@@ -192,11 +192,21 @@ def cwt(
     """
     w = _resolve_continuous(wavelet)
     scales = tuple(float(s) for s in scales)
+    if not scales:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_TOO_SHORT, "At least one scale is required"
+        )
     if any(s <= 0 for s in scales):
         raise InvalidArgumentError(
             ErrorCode.VAL_TOO_SHORT, "All scales must be positive", context={"scales": scales}
         )
     n = x.shape[-1]
+    if n < 1:
+        raise InvalidSignalError(
+            ErrorCode.VAL_TOO_SHORT,
+            f"Signal length {n} below minimum 1",
+            context={"shape": tuple(x.shape)},
+        )
     if config is not None:
         boundary = config.boundary
         analytic = config.analytic
