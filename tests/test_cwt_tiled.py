@@ -64,3 +64,51 @@ def test_tiled_cwt_analytic_approximation(mesh):
 def test_tiled_cwt_uneven_rejected(mesh):
     with pytest.raises(vw.InvalidArgumentError):
         cwt_tiled(jnp.zeros(1001), (4.0,), "morl", mesh=mesh)
+
+
+def test_cwt_tiled_2d_matches_single_device():
+    """Scales over 'host' (zero DCN bytes), signal over 'chip' (ICI halos):
+    must match the single-device fft-path CWT (BASELINE cfg5 layout)."""
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled_2d, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    x = jnp.asarray(_signal(1024), dtype=jnp.float64)
+    scales = vw.scales_log(2.0, 16.0, 8)
+    tiled = cwt_tiled_2d(x, scales, "morl", mesh=mesh)
+    single = vw.cwt(x, scales, "morl", boundary="zero")
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs), np.asarray(single.coeffs), atol=1e-10
+    )
+    spec = tiled.coeffs.sharding.spec
+    assert spec == ("host", "chip")
+
+
+def test_cwt_tiled_2d_complex_wavelet():
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled_2d, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    x = jnp.asarray(_signal(512), dtype=jnp.float64)
+    scales = (2.0, 4.0, 6.0, 8.0)
+    tiled = cwt_tiled_2d(x, scales, "cmor", mesh=mesh)
+    single = vw.cwt(x, scales, "cmor", boundary="zero")
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs.real), np.asarray(single.coeffs.real), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled.coeffs.imag), np.asarray(single.coeffs.imag), atol=1e-10
+    )
+
+
+def test_cwt_tiled_2d_validation():
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled_2d, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    with pytest.raises(vw.InvalidArgumentError):  # 2-D input
+        cwt_tiled_2d(jnp.zeros((2, 512)), (2.0, 4.0), "morl", mesh=mesh)
+    with pytest.raises(vw.InvalidArgumentError):  # scales not divisible
+        cwt_tiled_2d(jnp.zeros(512), (2.0, 4.0, 6.0), "morl", mesh=mesh)
+    with pytest.raises(vw.InvalidArgumentError):  # N not divisible
+        cwt_tiled_2d(jnp.zeros(510), (2.0, 4.0), "morl", mesh=mesh)

@@ -5,7 +5,7 @@ from .tiled import (
     modwt_multilevel_tiled,
     tiled_roundtrip_check,
 )
-from .cwt_tiled import cwt_tiled
+from .cwt_tiled import cwt_tiled, cwt_tiled_2d
 from .multihost import (
     CommunicationReport,
     communication_report,
@@ -16,6 +16,7 @@ from .multihost import (
 
 __all__ = [
     "cwt_tiled",
+    "cwt_tiled_2d",
     "make_mesh",
     "default_mesh",
     "shard_batch",

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import ErrorCode, InvalidArgumentError
@@ -88,3 +89,113 @@ def cwt_tiled(
     x = jax.device_put(x, NamedSharding(mesh, in_spec))
     coeffs = fn(x)
     return CWTResult(coeffs, scales, boundary)
+
+
+def cwt_tiled_2d(
+    x: jnp.ndarray,
+    scales,
+    wavelet="morl",
+    *,
+    mesh: Mesh,
+    signal_axis: str = "chip",
+    scale_axis: str = "host",
+    boundary: str = "zero",
+) -> CWTResult:
+    """CWT over a 2-axis mesh: scales shard over ``scale_axis``, the signal
+    tiles over ``signal_axis`` with two-sided support halos.
+
+    This is the multi-host layout for BASELINE config #5 ("CWT 64-scale on a
+    1M-sample signal, tiles + halo over 2 hosts"): CWT scales are
+    embarrassingly parallel (``CWTTransform.java:249-253`` runs them on a
+    thread pool), so the axis crossing DCN carries the SCALE split — zero
+    inter-host bytes during the transform — while the per-level halo
+    exchange stays on ICI over ``signal_axis``.  See
+    :func:`..multihost.make_multihost_mesh`.
+
+    Each shard convolves its extended tile against its own rows of the
+    host-precomputed frequency bank; output is sharded
+    ``[scales x scale_axis, time x signal_axis]`` and matches the
+    single-device ``cwt(x, scales, w, boundary=...)`` to float precision.
+    """
+    from ..transforms.cwt import _next_pow2, _sample_bank
+
+    w = _resolve_continuous(wavelet)
+    scales = tuple(float(s) for s in scales)
+    if x.ndim != 1:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"cwt_tiled_2d expects a 1-D signal, got shape {tuple(x.shape)}",
+            suggestions=("vmap over leading axes for batches",),
+        )
+    n = x.shape[-1]
+    chips = mesh.shape[signal_axis]
+    hosts = mesh.shape[scale_axis]
+    if n % chips != 0:
+        raise InvalidArgumentError(
+            ErrorCode.DIST_TILE_TOO_SMALL,
+            f"Signal length {n} must divide evenly across {chips} shards",
+            suggestions=("Pad the signal to a multiple of the mesh axis size",),
+        )
+    if len(scales) % hosts != 0:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"{len(scales)} scales must divide evenly across {hosts} "
+            f"'{scale_axis}' shards",
+            suggestions=("Pad the scale list to a multiple of the host count",),
+        )
+    halo = max(_half_support(s, w.bandwidth) for s in scales)
+    local_n = n // chips
+    if halo > local_n * (chips - 1) and chips > 1:
+        raise InvalidArgumentError(
+            ErrorCode.DIST_TILE_TOO_SMALL,
+            f"Wavelet support halo ({halo}) exceeds the reachable neighbor span",
+            suggestions=("Use fewer shards or smaller maximum scale",),
+        )
+    wrap = boundary.lower().startswith("per")
+    from_left, from_right = _ring_perms(signal_axis, mesh, wrap)
+
+    # Host-precomputed conj frequency bank at the LOCAL tile's fft size
+    # (identical math to the single-device fft path), sharded over scales.
+    ext_len = local_n + 2 * halo
+    max_support = 2 * halo + 1
+    fft_size = _next_pow2(ext_len + max_support - 1)
+    bank, is_complex = _sample_bank(w, scales, fft_size)
+    real_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    complex_dtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+    if is_complex:
+        bank_spec_np = np.conj(np.fft.fft(bank, axis=-1))
+    else:
+        bank_spec_np = np.conj(np.fft.rfft(bank.real, axis=-1))
+    from ..ops.convolve import device_complex
+
+    bank_spec = device_complex(bank_spec_np, complex_dtype)
+
+    def shard_fn(x_local, bank_local):
+        left = _gather_halo(x_local, halo, signal_axis, from_left, "left") if halo else x_local[..., :0]
+        right = _gather_halo(x_local, halo, signal_axis, from_right, "right") if halo else x_local[..., :0]
+        ext = jnp.concatenate([left, x_local, right], axis=-1)
+        if is_complex:
+            spec_x = jnp.fft.fft(ext.astype(real_dtype), n=fft_size).astype(
+                complex_dtype
+            )
+            out = jnp.fft.ifft(spec_x[None, :] * bank_local, axis=-1)
+        else:
+            spec_x = jnp.fft.rfft(ext.astype(real_dtype), n=fft_size)
+            out = jnp.fft.irfft(
+                spec_x[None, :] * bank_local, n=fft_size, axis=-1
+            ).astype(real_dtype)
+        return out[..., halo : halo + x_local.shape[-1]]
+
+    fn = _cached_program(
+        ("cwt2d", w.name, w.center_frequency, w.bandwidth, scales, mesh,
+         signal_axis, scale_axis, boundary.lower()),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(signal_axis), P(scale_axis, None)),
+            out_specs=P(scale_axis, signal_axis),
+        ),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(signal_axis)))
+    bank_spec = jax.device_put(bank_spec, NamedSharding(mesh, P(scale_axis, None)))
+    return CWTResult(fn(x, bank_spec), scales, boundary)
