@@ -233,3 +233,46 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == args[0].shape
     graft.dryrun_multichip(8)
+
+
+def test_multihost_collectives_stay_on_ici():
+    """Structural zero-DCN guarantee: every collective-permute in the
+    compiled multihost program exchanges data only WITHIN a host row —
+    nothing crosses the "host" axis during the transform."""
+    import re
+
+    from vectorwave_tpu.parallel import make_multihost_mesh
+    from vectorwave_tpu.parallel.multihost import CHIP_AXIS, HOST_AXIS
+    from vectorwave_tpu.parallel.tiled import modwt_multilevel_tiled
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    dev_host = {}  # device id -> host row
+    grid = np.asarray(mesh.devices)
+    for h in range(grid.shape[0]):
+        for d in grid[h]:
+            dev_host[d.id] = h
+
+    x = jnp.zeros((4, 512), dtype=jnp.float32)
+
+    def fn(v):
+        return modwt_multilevel_tiled(
+            v, "db4", levels=3, mesh=mesh, axis=CHIP_AXIS,
+            boundary="periodic", batch_axis=HOST_AXIS,
+        ).approx
+
+    compiled = jax.jit(fn).lower(x).compile()
+    hlo = compiled.as_text()
+    pairs = re.findall(r"source_target_pairs=\{([0-9,{} ]+)\}", hlo)
+    assert pairs, "expected at least one collective-permute (halo exchange)"
+    for group in pairs:
+        for pair in re.findall(r"\{(\d+),(\d+)\}", group):
+            a, b = int(pair[0]), int(pair[1])
+            assert dev_host[a] == dev_host[b], (
+                f"collective-permute {a}->{b} crosses host rows"
+            )
+    # and nothing else communicates: no all-reduce/all-gather across hosts
+    for coll in re.findall(r"replica_groups=\{\{([0-9,{} ]*)\}\}", hlo):
+        for grp in coll.split("},{"):
+            ids = [int(t) for t in re.findall(r"\d+", grp)]
+            hosts = {dev_host[i] for i in ids}
+            assert len(hosts) == 1, f"collective group {ids} spans hosts"

@@ -89,6 +89,37 @@ def bench_batch(n_devices: int, batch: int, n: int) -> float:
     return _time(run, x)
 
 
+def bench_multihost(hosts: int, chips: int, batch: int, n: int) -> float:
+    """Per-transform time of the ("host","chip") facade: batch over hosts,
+    signal tiled over chips (DCN-free layout)."""
+    from vectorwave_tpu.parallel import make_multihost_mesh, modwt_multilevel_multihost
+
+    mesh = make_multihost_mesh(n_hosts=hosts, chips_per_host=chips)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((batch, n)), dtype=jnp.float32
+    )
+
+    def run(v):
+        res = modwt_multilevel_multihost(v, WAVELET, levels=LEVELS, mesh=mesh)
+        return res.approx
+
+    return _time(run, x)
+
+
+def bench_cwt_2d(hosts: int, chips: int, n_scales: int, n: int) -> float:
+    """CWT multihost layout: scales over hosts, signal over chips."""
+    from vectorwave_tpu.parallel import cwt_tiled_2d, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=hosts, chips_per_host=chips)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(n), dtype=jnp.float32)
+    scales = tuple(2.0 * 2 ** (4 * i / max(1, n_scales - 1)) for i in range(n_scales))
+
+    def run(v):
+        return cwt_tiled_2d(v, scales, "morl", mesh=mesh).coeffs
+
+    return _time(run, x)
+
+
 def main() -> None:
     cores = os.cpu_count() or 1
     devices = [1, 2, 4, 8]
@@ -101,6 +132,10 @@ def main() -> None:
         strong[p] = bench_tiled(p, n_strong)
         weak[p] = bench_tiled(p, n_weak_per * p)
         batch_rows[p] = bench_batch(p, batch_strong, 1 << 14)
+
+    # multihost weak scaling: per-host work constant, hosts double
+    mh = {h: bench_multihost(h, 4, 8 * h, 1 << 17) for h in (1, 2)}
+    mh_cwt = {h: bench_cwt_2d(h, 4, 8 * h, 1 << 17) for h in (1, 2)}
 
     def eff_strong(t1, tp, p):
         return t1 / (p * tp)
@@ -152,6 +187,30 @@ def main() -> None:
         )
     lines += [
         "",
+        "## Multihost weak scaling — (host, chip) mesh, per-host work constant",
+        "",
+        "DCN-free layouts (batch/scales over the host axis): doubling hosts "
+        "doubles total work with ZERO extra transform communication, so ideal "
+        "weak efficiency is 1.0.",
+        "",
+        "| layout | 1x4 (ms) | 2x4 (ms) | weak efficiency |",
+        "|---|---|---|---|",
+        f"| MODWT batch x host, signal x chip (8/host x 128K) | "
+        f"{mh[1]*1e3:.2f} | {mh[2]*1e3:.2f} | {mh[1]/mh[2]:.2f} |",
+        f"| CWT scales x host, signal x chip (8 scales/host, 128K) | "
+        f"{mh_cwt[1]*1e3:.2f} | {mh_cwt[2]*1e3:.2f} | "
+        f"{mh_cwt[1]/mh_cwt[2]:.2f} |",
+        "",
+        "On this host the 2x4 run oversubscribes the physical cores "
+        "(compute-ideal efficiency 0.5), so these rows mostly measure "
+        "executor overhead.  The zero-DCN property itself is verified "
+        "structurally, not by timing: the partitioned HLO's "
+        "collective-permutes never cross host rows "
+        "(tests/test_parallel.py::test_multihost_collectives_stay_on_ici).",
+    ]
+
+    lines += [
+        "",
         "Caveats, measured: (1) a CONTROL experiment (trivial sharded "
         "tanh+matmul, no communication at all) shows the same flat/anti "
         "scaling on this runtime's virtual-device executor — XLA:CPU "
@@ -181,6 +240,8 @@ def main() -> None:
                 "batch_eff_at_4dev": round(
                     eff_strong(batch_rows[1], batch_rows[4], 4), 3
                 ),
+                "multihost_weak_eff_2hosts": round(mh[1] / mh[2], 3),
+                "multihost_cwt_weak_eff_2hosts": round(mh_cwt[1] / mh_cwt[2], 3),
                 "physical_cores": cores,
                 "honest_window_devices": honest,
             }
