@@ -112,3 +112,56 @@ def test_cwt_tiled_2d_validation():
         cwt_tiled_2d(jnp.zeros(512), (2.0, 4.0, 6.0), "morl", mesh=mesh)
     with pytest.raises(vw.InvalidArgumentError):  # N not divisible
         cwt_tiled_2d(jnp.zeros(510), (2.0, 4.0), "morl", mesh=mesh)
+
+
+def test_cwt_tiled_2d_cache_keys_on_shape_and_dtype():
+    """Back-to-back calls with different signal lengths must not reuse a
+    stale compiled program (the fft size is baked into the closure)."""
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled_2d, make_multihost_mesh
+
+    mesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    scales = (2.0, 4.0)
+    for n in (1024, 4096):
+        x = jnp.asarray(_signal(n), dtype=jnp.float64)
+        tiled = cwt_tiled_2d(x, scales, "morl", mesh=mesh)
+        single = vw.cwt(x, scales, "morl", boundary="zero")
+        np.testing.assert_allclose(
+            np.asarray(tiled.coeffs), np.asarray(single.coeffs), atol=1e-10
+        )
+
+
+def test_cwt_tiled_scale_validation():
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled, cwt_tiled_2d, make_mesh, make_multihost_mesh
+
+    smesh = make_mesh({"signal": 8})
+    hmesh = make_multihost_mesh(n_hosts=2, chips_per_host=4)
+    for bad in ((), (-2.0, 4.0)):
+        with pytest.raises(vw.InvalidArgumentError):
+            cwt_tiled(jnp.zeros(512), bad, "morl", mesh=smesh)
+        with pytest.raises(vw.InvalidArgumentError):
+            cwt_tiled_2d(jnp.zeros(512), bad, "morl", mesh=hmesh)
+
+
+def test_cwt_tiled_program_cache_keys_on_psi():
+    """Two custom wavelets sharing (name, fc, bw) but different psi must not
+    share a cached program."""
+    import numpy as onp
+
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.parallel import cwt_tiled, make_mesh
+    from vectorwave_tpu.wavelets.base import ContinuousWavelet
+
+    def mk(width):
+        return ContinuousWavelet(
+            name="custom-x", family="Custom",
+            psi=lambda t, wdt=width: onp.exp(-(t / wdt) ** 2) * onp.cos(5 * t),
+            center_frequency=0.8, bandwidth=1.0,
+        )
+
+    mesh = make_mesh({"signal": 8})
+    x = jnp.asarray(_signal(512), dtype=jnp.float64)
+    a = cwt_tiled(x, (2.0, 4.0), mk(1.0), mesh=mesh)
+    b = cwt_tiled(x, (2.0, 4.0), mk(0.5), mesh=mesh)
+    assert float(jnp.max(jnp.abs(a.coeffs - b.coeffs))) > 1e-3

@@ -136,3 +136,13 @@ def test_twodim_validation():
         modwt2(jnp.zeros(16), "db4")
     with pytest.raises(vw.InvalidArgumentError):
         modwt2_multilevel(jnp.zeros((8, 8)), "db4", levels=0)
+
+
+def test_denoise2_orientation_invariant():
+    """Whole-plane statistics: denoising must commute with transposition
+    (per-row sigma would break this)."""
+    rng = np.random.default_rng(9)
+    noisy = np.asarray(_image(64, 96)) + 0.4 * rng.standard_normal((64, 96))
+    a = np.asarray(denoise2(jnp.asarray(noisy), "sym4", levels=2))
+    b = np.asarray(denoise2(jnp.asarray(noisy.T), "sym4", levels=2)).T
+    np.testing.assert_allclose(a, b, atol=1e-10)

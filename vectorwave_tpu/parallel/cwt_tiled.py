@@ -25,6 +25,35 @@ from ..errors import ErrorCode, InvalidArgumentError
 from ..transforms.cwt import CWTResult, _half_support, _resolve_continuous, cwt
 from .tiled import _cached_program, _gather_halo, _ring_perms
 
+# device-resident (re, im) frequency banks, cached alongside the compiled
+# programs so the multi-hundred-MB config-#5 bank is built and transferred once
+_BANK_CACHE: dict = {}
+_BANK_CACHE_MAX = 32
+
+
+def _validate_scales(scales) -> tuple:
+    scales = tuple(float(s) for s in scales)
+    if not scales:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_TOO_SHORT, "At least one scale is required"
+        )
+    if any(s <= 0 for s in scales):
+        raise InvalidArgumentError(
+            ErrorCode.VAL_TOO_SHORT,
+            "All scales must be positive",
+            context={"scales": scales},
+        )
+    return scales
+
+
+def _cwavelet_key(w) -> tuple:
+    """Identify a continuous wavelet by its actual psi samples, not just its
+    name — two custom wavelets sharing (name, fc, bw) must not share a
+    cached program whose bank was baked from the other's psi."""
+    probe = np.linspace(-4.0 * w.bandwidth, 4.0 * w.bandwidth, 33)
+    psi = np.asarray(w.psi(probe), dtype=np.complex128)
+    return (w.name, w.center_frequency, w.bandwidth, psi.tobytes())
+
 
 def cwt_tiled(
     x: jnp.ndarray,
@@ -46,7 +75,7 @@ def cwt_tiled(
     distributed analytic coefficients).
     """
     w = _resolve_continuous(wavelet)
-    scales = tuple(float(s) for s in scales)
+    scales = _validate_scales(scales)
     n = x.shape[-1]
     size = mesh.shape[axis]
     if n % size != 0:
@@ -80,8 +109,8 @@ def cwt_tiled(
     in_spec = P(*([None] * (ndim - 1)), axis)
     out_spec = P(*([None] * (ndim - 1)), None, axis)  # scale axis replicated
     fn = _cached_program(
-        ("cwt", w.name, w.center_frequency, w.bandwidth, scales, mesh, axis,
-         boundary.lower(), analytic, ndim),
+        ("cwt", _cwavelet_key(w), scales, mesh, axis,
+         boundary.lower(), analytic, ndim, n, str(x.dtype)),
         lambda: jax.shard_map(
             shard_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
         ),
@@ -120,7 +149,7 @@ def cwt_tiled_2d(
     from ..transforms.cwt import _next_pow2, _sample_bank
 
     w = _resolve_continuous(wavelet)
-    scales = tuple(float(s) for s in scales)
+    scales = _validate_scales(scales)
     if x.ndim != 1:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_SHAPE,
@@ -159,18 +188,33 @@ def cwt_tiled_2d(
     ext_len = local_n + 2 * halo
     max_support = 2 * halo + 1
     fft_size = _next_pow2(ext_len + max_support - 1)
-    bank, is_complex = _sample_bank(w, scales, fft_size)
     real_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     complex_dtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
-    if is_complex:
-        bank_spec_np = np.conj(np.fft.fft(bank, axis=-1))
-    else:
-        bank_spec_np = np.conj(np.fft.rfft(bank.real, axis=-1))
-    from ..ops.convolve import device_complex
+    wkey = _cwavelet_key(w)
+    bank_key = (wkey, scales, fft_size, str(real_dtype), mesh, scale_axis)
+    cached = _BANK_CACHE.get(bank_key)
+    if cached is None:
+        bank, is_complex = _sample_bank(w, scales, fft_size)
+        if is_complex:
+            bank_spec_np = np.conj(np.fft.fft(bank, axis=-1))
+        else:
+            bank_spec_np = np.conj(np.fft.rfft(bank.real, axis=-1))
+        # split re/im host-side: complex arrays cannot cross host<->device on
+        # some pinned-accelerator runtimes (the bug commit 083dd4d fixed)
+        sharding = NamedSharding(mesh, P(scale_axis, None))
+        bank_re = jax.device_put(
+            np.ascontiguousarray(bank_spec_np.real, dtype=real_dtype), sharding
+        )
+        bank_im = jax.device_put(
+            np.ascontiguousarray(bank_spec_np.imag, dtype=real_dtype), sharding
+        )
+        if len(_BANK_CACHE) >= _BANK_CACHE_MAX:
+            _BANK_CACHE.clear()
+        cached = _BANK_CACHE[bank_key] = (bank_re, bank_im, is_complex)
+    bank_re, bank_im, is_complex = cached
 
-    bank_spec = device_complex(bank_spec_np, complex_dtype)
-
-    def shard_fn(x_local, bank_local):
+    def shard_fn(x_local, re_local, im_local):
+        bank_local = jax.lax.complex(re_local, im_local).astype(complex_dtype)
         left = _gather_halo(x_local, halo, signal_axis, from_left, "left") if halo else x_local[..., :0]
         right = _gather_halo(x_local, halo, signal_axis, from_right, "right") if halo else x_local[..., :0]
         ext = jnp.concatenate([left, x_local, right], axis=-1)
@@ -187,15 +231,14 @@ def cwt_tiled_2d(
         return out[..., halo : halo + x_local.shape[-1]]
 
     fn = _cached_program(
-        ("cwt2d", w.name, w.center_frequency, w.bandwidth, scales, mesh,
-         signal_axis, scale_axis, boundary.lower()),
+        ("cwt2d", wkey, scales, mesh, signal_axis, scale_axis,
+         boundary.lower(), n, str(x.dtype)),
         lambda: jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(signal_axis), P(scale_axis, None)),
+            in_specs=(P(signal_axis), P(scale_axis, None), P(scale_axis, None)),
             out_specs=P(scale_axis, signal_axis),
         ),
     )
     x = jax.device_put(x, NamedSharding(mesh, P(signal_axis)))
-    bank_spec = jax.device_put(bank_spec, NamedSharding(mesh, P(scale_axis, None)))
-    return CWTResult(fn(x, bank_spec), scales, boundary)
+    return CWTResult(fn(x, bank_re, bank_im), scales, boundary)

@@ -210,18 +210,28 @@ def denoise2(
     boundary: str = "periodic",
 ) -> jnp.ndarray:
     """2-D denoising: threshold each detail subband per level with the
-    sigma-scaled rule of the 1-D engine (finest HH estimates the noise)."""
+    sigma-scaled rule of the 1-D engine (finest HH estimates the noise).
+
+    Subband statistics are computed over the WHOLE [H, W] plane (flattened),
+    so sigma is one estimate per image and the universal threshold uses
+    N = H*W — the 2-D VisuShrink rule; the result is H/W-symmetric."""
     from ..ops.thresholds import apply_threshold, mad_sigma, select_threshold
 
+    def _flat(b):
+        return b.reshape(*b.shape[:-2], -1)
+
     res = modwt2_multilevel(x, wavelet, levels=levels, boundary=boundary)
-    sigma = mad_sigma(res.details[0][2])  # finest diagonal band
+    sigma = mad_sigma(_flat(res.details[0][2]))  # finest diagonal band
     new_details = []
     for level, (lh, hl, hh) in enumerate(res.details, start=1):
         level_sigma = sigma / (2.0**level)  # two 1/sqrt(2) stages per level
-        new_details.append(tuple(
-            apply_threshold(b, select_threshold(b, level_sigma, method), mode)
-            for b in (lh, hl, hh)
-        ))
+        bands = []
+        for b in (lh, hl, hh):
+            # select_threshold keeps one trailing singleton (from the
+            # flattened plane); add one more to broadcast over [..., H, W]
+            thr = select_threshold(_flat(b), level_sigma, method)
+            bands.append(apply_threshold(b, thr[..., None], mode))
+        new_details.append(tuple(bands))
     return imodwt2_multilevel(
         MultiLevelMODWT2Result(tuple(new_details), res.approx),
         wavelet,
