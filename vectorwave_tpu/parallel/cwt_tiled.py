@@ -22,7 +22,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import ErrorCode, InvalidArgumentError
-from ..transforms.cwt import CWTResult, _half_support, _resolve_continuous, cwt
+from ..transforms.cwt import (
+    CWTResult,
+    _half_support,
+    _resolve_continuous,
+    _sample_bank,
+    validate_scales,
+)
 from .tiled import _cached_program, _gather_halo, _ring_perms
 
 # device-resident (re, im) frequency banks, cached alongside the compiled
@@ -31,28 +37,43 @@ _BANK_CACHE: dict = {}
 _BANK_CACHE_MAX = 32
 
 
-def _validate_scales(scales) -> tuple:
-    scales = tuple(float(s) for s in scales)
-    if not scales:
-        raise InvalidArgumentError(
-            ErrorCode.VAL_TOO_SHORT, "At least one scale is required"
-        )
-    if any(s <= 0 for s in scales):
-        raise InvalidArgumentError(
-            ErrorCode.VAL_TOO_SHORT,
-            "All scales must be positive",
-            context={"scales": scales},
-        )
-    return scales
-
-
 def _cwavelet_key(w) -> tuple:
     """Identify a continuous wavelet by its actual psi samples, not just its
     name — two custom wavelets sharing (name, fc, bw) must not share a
     cached program whose bank was baked from the other's psi."""
-    probe = np.linspace(-4.0 * w.bandwidth, 4.0 * w.bandwidth, 33)
+    probe = np.linspace(-4.0 * w.bandwidth, 4.0 * w.bandwidth, 1025)
     psi = np.asarray(w.psi(probe), dtype=np.complex128)
     return (w.name, w.center_frequency, w.bandwidth, psi.tobytes())
+
+
+def _bank_device(w, wkey, scales, fft_size, real, real_dtype, mesh, spec):
+    """Device-resident (re, im) conjugate frequency bank, cached.
+
+    Host-built (numpy), split into real/imag (complex arrays cannot cross
+    host<->device on some pinned-accelerator runtimes), device_put with the
+    given sharding, and cached so multi-hundred-MB banks transfer once.
+    Passing the bank as a RUNTIME argument also keeps it out of the jitted
+    program body, where XLA constant folding would otherwise embed it as a
+    giant literal (the _BAKED_BANK_MAX_FFT concern, transforms/cwt.py)."""
+    key = (wkey, scales, fft_size, real, str(real_dtype), mesh, spec)
+    cached = _BANK_CACHE.get(key)
+    if cached is None:
+        bank, _ = _sample_bank(w, scales, fft_size)
+        if real:
+            bank_spec_np = np.conj(np.fft.rfft(bank.real, axis=-1))
+        else:
+            bank_spec_np = np.conj(np.fft.fft(bank, axis=-1))
+        sharding = NamedSharding(mesh, spec)
+        bank_re = jax.device_put(
+            np.ascontiguousarray(bank_spec_np.real, dtype=real_dtype), sharding
+        )
+        bank_im = jax.device_put(
+            np.ascontiguousarray(bank_spec_np.imag, dtype=real_dtype), sharding
+        )
+        while len(_BANK_CACHE) >= _BANK_CACHE_MAX:  # FIFO eviction
+            _BANK_CACHE.pop(next(iter(_BANK_CACHE)))
+        cached = _BANK_CACHE[key] = (bank_re, bank_im)
+    return cached
 
 
 def cwt_tiled(
@@ -75,7 +96,7 @@ def cwt_tiled(
     distributed analytic coefficients).
     """
     w = _resolve_continuous(wavelet)
-    scales = _validate_scales(scales)
+    scales = validate_scales(scales)
     n = x.shape[-1]
     size = mesh.shape[axis]
     if n % size != 0:
@@ -95,28 +116,59 @@ def cwt_tiled(
     wrap = boundary.lower().startswith("per")
     from_left, from_right = _ring_perms(axis, mesh, wrap)
 
-    def shard_fn(x_local):
+    # Identical fft sizing to the single-device zero-boundary path applied
+    # to the extended tile (what the previous inner cwt() call computed).
+    from ..transforms.cwt import _next_pow2
+
+    local_n = n // size
+    ext_len = local_n + 2 * halo
+    max_support = 2 * halo + 1
+    fft_size = _next_pow2(ext_len + max_support - 1)
+    real_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+    complex_dtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+    _, is_complex = _sample_bank(w, scales, 1)
+    complex_out = is_complex or analytic
+    wkey = _cwavelet_key(w)
+    bank_re, bank_im = _bank_device(
+        w, wkey, scales, fft_size, not complex_out, real_dtype, mesh, P(None, None)
+    )
+
+    def shard_fn(x_local, re_local, im_local):
+        bank_local = jax.lax.complex(re_local, im_local).astype(complex_dtype)
         left = _gather_halo(x_local, halo, axis, from_left, "left") if halo else x_local[..., :0]
         right = _gather_halo(x_local, halo, axis, from_right, "right") if halo else x_local[..., :0]
         ext = jnp.concatenate([left, x_local, right], axis=-1)
-        # local CWT with zero boundary on the extended tile; the halo provides
-        # the true neighbor samples, so the center region is exact
-        local = cwt(ext, scales, w, boundary="zero", analytic=analytic)
-        coeffs = local.coeffs[..., halo : halo + x_local.shape[-1]]
-        return coeffs
+        if complex_out:
+            spec_x = jnp.fft.fft(ext.astype(real_dtype), n=fft_size, axis=-1)
+            if analytic and not is_complex:
+                freq = np.fft.fftfreq(fft_size)
+                mult = np.where(freq > 0, 2.0, np.where(freq == 0, 1.0, 0.0))
+                spec_x = spec_x * jnp.asarray(mult, dtype=real_dtype).astype(
+                    complex_dtype
+                )
+            out = jnp.fft.ifft(spec_x[..., None, :] * bank_local, axis=-1)
+        else:
+            spec_x = jnp.fft.rfft(ext.astype(real_dtype), n=fft_size, axis=-1)
+            out = jnp.fft.irfft(
+                spec_x[..., None, :] * bank_local, n=fft_size, axis=-1
+            ).astype(real_dtype)
+        return out[..., halo : halo + x_local.shape[-1]]
 
     ndim = x.ndim
     in_spec = P(*([None] * (ndim - 1)), axis)
     out_spec = P(*([None] * (ndim - 1)), None, axis)  # scale axis replicated
     fn = _cached_program(
-        ("cwt", _cwavelet_key(w), scales, mesh, axis,
+        ("cwt", wkey, scales, mesh, axis,
          boundary.lower(), analytic, ndim, n, str(x.dtype)),
         lambda: jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec
+            shard_fn,
+            mesh=mesh,
+            in_specs=(in_spec, P(None, None), P(None, None)),
+            out_specs=out_spec,
         ),
     )
     x = jax.device_put(x, NamedSharding(mesh, in_spec))
-    coeffs = fn(x)
+    coeffs = fn(x, bank_re, bank_im)
     return CWTResult(coeffs, scales, boundary)
 
 
@@ -146,10 +198,10 @@ def cwt_tiled_2d(
     ``[scales x scale_axis, time x signal_axis]`` and matches the
     single-device ``cwt(x, scales, w, boundary=...)`` to float precision.
     """
-    from ..transforms.cwt import _next_pow2, _sample_bank
+    from ..transforms.cwt import _next_pow2
 
     w = _resolve_continuous(wavelet)
-    scales = _validate_scales(scales)
+    scales = validate_scales(scales)
     if x.ndim != 1:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_SHAPE,
@@ -190,28 +242,12 @@ def cwt_tiled_2d(
     fft_size = _next_pow2(ext_len + max_support - 1)
     real_dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     complex_dtype = jnp.complex128 if real_dtype == jnp.float64 else jnp.complex64
+    _, is_complex = _sample_bank(w, scales, 1)
     wkey = _cwavelet_key(w)
-    bank_key = (wkey, scales, fft_size, str(real_dtype), mesh, scale_axis)
-    cached = _BANK_CACHE.get(bank_key)
-    if cached is None:
-        bank, is_complex = _sample_bank(w, scales, fft_size)
-        if is_complex:
-            bank_spec_np = np.conj(np.fft.fft(bank, axis=-1))
-        else:
-            bank_spec_np = np.conj(np.fft.rfft(bank.real, axis=-1))
-        # split re/im host-side: complex arrays cannot cross host<->device on
-        # some pinned-accelerator runtimes (the bug commit 083dd4d fixed)
-        sharding = NamedSharding(mesh, P(scale_axis, None))
-        bank_re = jax.device_put(
-            np.ascontiguousarray(bank_spec_np.real, dtype=real_dtype), sharding
-        )
-        bank_im = jax.device_put(
-            np.ascontiguousarray(bank_spec_np.imag, dtype=real_dtype), sharding
-        )
-        if len(_BANK_CACHE) >= _BANK_CACHE_MAX:
-            _BANK_CACHE.clear()
-        cached = _BANK_CACHE[bank_key] = (bank_re, bank_im, is_complex)
-    bank_re, bank_im, is_complex = cached
+    bank_re, bank_im = _bank_device(
+        w, wkey, scales, fft_size, not is_complex, real_dtype, mesh,
+        P(scale_axis, None),
+    )
 
     def shard_fn(x_local, re_local, im_local):
         bank_local = jax.lax.complex(re_local, im_local).astype(complex_dtype)

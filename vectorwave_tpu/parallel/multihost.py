@@ -64,9 +64,16 @@ def make_multihost_mesh(
     """
     if devices is None:
         devices = jax.devices()
-        if len(devices) == 1:  # pinned single-accelerator backend (tunnels)
+        need = (n_hosts or 1) * (chips_per_host or 1)
+        if len(devices) < need:
+            # Not enough accelerators for the requested mesh: fall back to
+            # the coexisting CPU backend's virtual devices (validation meshes
+            # behind pinned single-accelerator tunnels) — but never displace
+            # a default backend that can satisfy the request.
             try:
-                devices = jax.devices("cpu")
+                cpu = jax.devices("cpu")
+                if len(cpu) > len(devices):
+                    devices = cpu
             except RuntimeError:
                 pass
     by_process: dict[int, list] = {}
@@ -137,8 +144,9 @@ def modwt_multilevel_multihost(
 
     Batch shards over ``"host"`` (no DCN traffic during the transform);
     the signal tiles over ``"chip"`` with per-level ICI halo exchange.
-    Bit-parity with the single-device transform for every boundary mode —
-    the distributed analogue of ``BatchMODWT.multiLevelAoS`` run across a
+    Machine-precision parity with the single-device transform for every
+    boundary mode (op order inside the compiled program may differ) — the
+    distributed analogue of ``BatchMODWT.multiLevelAoS`` run across a
     slice (``extensions/modwt/BatchMODWT.java:34-151``).
     """
     x = _place(x, mesh)
@@ -197,12 +205,24 @@ def communication_report(
     level (``tiled.py`` docstring); the symmetric inverse needs two-sided
     halos, counted as 2x.  The batch-over-host axis exchanges nothing — that
     is the point of the layout.
+
+    Scope: exact for PERIODIC/ZERO (and the symmetric inverse's two-sided
+    halos via ``direction="inverse_symmetric"``); the symmetric DEEP-halo
+    regime (halo wider than a shard) falls back to an all_gather whose
+    traffic this model does not count.
     """
     w = _resolve_discrete(wavelet)
     l0 = len(w.dec_lo)
     chips = mesh.shape[CHIP_AXIS]
     hosts = mesh.shape[HOST_AXIS]
-    local_batch = max(1, batch // hosts)
+    if batch % hosts != 0:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"batch {batch} not divisible by {hosts} hosts (the transform "
+            f"itself rejects such a batch)",
+            suggestions=("Pad the batch to a multiple of the host count",),
+        )
+    local_batch = batch // hosts
     halos = tuple((l0 - 1) * 2 ** (j - 1) for j in range(1, levels + 1))
     sides = 2 if direction == "inverse_symmetric" else 1
     ici = sum(halos) * sides * local_batch * dtype_bytes if chips > 1 else 0

@@ -52,8 +52,8 @@ _PROGRAM_CACHE_MAX = 256
 def _cached_program(key, build):
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
-        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
-            _PROGRAM_CACHE.clear()
+        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:  # FIFO eviction
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         fn = _PROGRAM_CACHE[key] = jax.jit(build())
     return fn
 
@@ -81,8 +81,16 @@ def _gather_halo(
     side: str,
 ) -> jnp.ndarray:
     """Fetch ``halo_len`` samples adjacent to this shard from ring neighbors,
-    hop-by-hop for halos wider than one shard."""
+    hop-by-hop for halos wider than one shard.
+
+    For the common shallow case (halo within one shard) only the needed
+    ``halo_len`` columns cross the interconnect — the traffic
+    ``communication_report`` models; wide halos move whole blocks per hop
+    (~the halo's own size, unavoidable)."""
     n_loc = local.shape[-1]
+    if halo_len <= n_loc:
+        send = local[..., -halo_len:] if side == "left" else local[..., :halo_len]
+        return jax.lax.ppermute(send, axis, perm)
     hops = -(-halo_len // n_loc)
     blocks = []
     carried = local

@@ -86,6 +86,22 @@ def _resolve_continuous(wavelet) -> ContinuousWavelet:
     return w
 
 
+def validate_scales(scales) -> tuple:
+    """Shared scale validation: non-empty, all positive; returns floats."""
+    scales = tuple(float(s) for s in scales)
+    if not scales:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_TOO_SHORT, "At least one scale is required"
+        )
+    if any(s <= 0 for s in scales):
+        raise InvalidArgumentError(
+            ErrorCode.VAL_TOO_SHORT,
+            "All scales must be positive",
+            context={"scales": scales},
+        )
+    return scales
+
+
 def _half_support(scale: float, bandwidth: float) -> int:
     return max(1, int(math.ceil(scale * bandwidth * SUPPORT_FACTOR / 2)))
 
@@ -191,15 +207,7 @@ def cwt(
       :class:`CWTResult` with coefficients ``[..., S, N]``.
     """
     w = _resolve_continuous(wavelet)
-    scales = tuple(float(s) for s in scales)
-    if not scales:
-        raise InvalidArgumentError(
-            ErrorCode.VAL_TOO_SHORT, "At least one scale is required"
-        )
-    if any(s <= 0 for s in scales):
-        raise InvalidArgumentError(
-            ErrorCode.VAL_TOO_SHORT, "All scales must be positive", context={"scales": scales}
-        )
+    scales = validate_scales(scales)
     n = x.shape[-1]
     if n < 1:
         raise InvalidSignalError(

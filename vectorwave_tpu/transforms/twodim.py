@@ -18,13 +18,18 @@ edge effects within the filter support.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from ..errors import ErrorCode, InvalidArgumentError, InvalidSignalError
+from ..ops.convolve import atrous_analysis_pair, atrous_convolve
 from ..ops.dwt import dwt, idwt
 from .modwt import MODWTResult, _resolve_discrete, imodwt, modwt
+from .multilevel import _check_level_fits, _symmetric_alignment, _tau_j
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
 
 
 def _check_2d(x: jnp.ndarray, name: str) -> None:
@@ -95,6 +100,20 @@ class MultiLevelMODWT2Result(NamedTuple):
         return (lh**2 + hl**2 + hh**2).sum(axis=(-1, -2))
 
 
+def _h_pass_pair(x, low, high, spacing, boundary):
+    """Analysis pair along the H (row) axis: returns (low-H, high-H)."""
+    xt = jnp.swapaxes(x, -1, -2)
+    a, d = atrous_analysis_pair(xt, low, high, spacing=spacing, boundary=boundary)
+    return jnp.swapaxes(a, -1, -2), jnp.swapaxes(d, -1, -2)
+
+
+def _analysis2_level(x, low, high, spacing, boundary):
+    a_w, d_w = atrous_analysis_pair(x, low, high, spacing=spacing, boundary=boundary)
+    ll, hl = _h_pass_pair(a_w, low, high, spacing, boundary)
+    lh, hh = _h_pass_pair(d_w, low, high, spacing, boundary)
+    return MODWT2Result(ll=ll, lh=lh, hl=hl, hh=hh)
+
+
 def modwt2_multilevel(
     x: jnp.ndarray,
     wavelet,
@@ -102,24 +121,51 @@ def modwt2_multilevel(
     levels: int,
     boundary: str = "periodic",
 ) -> MultiLevelMODWT2Result:
-    """J-level separable 2-D MODWT: recurse on the LL band.
-
-    Note: levels cascade by re-applying the level-1 transform to LL (the
-    standard undecimated pyramid via recursion, not à trous spacing — each
-    level's filters see the already-smoothed LL, so level j's effective
-    scale is 2^j in both axes).
-    """
+    """J-level separable 2-D MODWT with à trous spacing ``2^(j-1)`` at
+    level j along BOTH axes (the 1-D cascade's convention,
+    :func:`..multilevel.modwt_multilevel`), so level-j subbands isolate
+    dyadic scale 2^j in H and W."""
+    _check_2d(x, "modwt2_multilevel")
     if levels < 1:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_LEVEL, f"levels must be >= 1, got {levels}"
         )
+    w = _resolve_discrete(wavelet)
+    n_min = min(x.shape[-1], x.shape[-2])
+    _check_level_fits(w, levels, n_min)
+    low = w.dec_lo * _INV_SQRT2
+    high = w.dec_hi * _INV_SQRT2
     details = []
     cur = x
-    for _ in range(levels):
-        res = modwt2(cur, wavelet, boundary=boundary)
+    for level in range(1, levels + 1):
+        spacing = 1 << (level - 1)
+        res = _analysis2_level(cur, low, high, spacing, boundary)
         details.append((res.lh, res.hl, res.hh))
         cur = res.ll
     return MultiLevelMODWT2Result(tuple(details), cur)
+
+
+def _inv_axis(a, d, low, high, spacing, boundary_l, w, level):
+    """Per-level synthesis along the LAST axis, matching the 1-D multilevel
+    conventions (adjoint indexing; symmetric uses the alignment table)."""
+    if boundary_l.startswith("sym"):
+        dec = _symmetric_alignment(w, level)
+        tau_h = _tau_j(w.rec_lo.shape[0], level) + dec.delta_approx
+        tau_g = _tau_j(w.rec_hi.shape[0], level) + dec.delta_detail
+        rec_a = atrous_convolve(
+            a, low, spacing=spacing, boundary="symmetric",
+            sign=+1 if dec.approx_plus else -1,
+            offset=-tau_h if dec.approx_plus else tau_h,
+        )
+        rec_d = atrous_convolve(
+            d, high, spacing=spacing, boundary="symmetric",
+            sign=+1 if dec.detail_plus else -1,
+            offset=-tau_g if dec.detail_plus else tau_g,
+        )
+        return rec_a + rec_d
+    rec_a = atrous_convolve(a, low, spacing=spacing, boundary=boundary_l, sign=+1)
+    rec_d = atrous_convolve(d, high, spacing=spacing, boundary=boundary_l, sign=+1)
+    return rec_a + rec_d
 
 
 def imodwt2_multilevel(
@@ -128,9 +174,26 @@ def imodwt2_multilevel(
     *,
     boundary: str = "periodic",
 ) -> jnp.ndarray:
+    w = _resolve_discrete(wavelet)
+    low = w.rec_lo * _INV_SQRT2
+    high = w.rec_hi * _INV_SQRT2
+    boundary_l = boundary.lower()
     cur = result.approx
-    for lh, hl, hh in reversed(result.details):
-        cur = imodwt2(MODWT2Result(cur, lh, hl, hh), wavelet, boundary=boundary)
+    for level in range(result.levels, 0, -1):
+        lh, hl, hh = result.details[level - 1]
+        spacing = 1 << (level - 1)
+
+        def inv_h(a, d):
+            at = jnp.swapaxes(a, -1, -2)
+            dt = jnp.swapaxes(d, -1, -2)
+            return jnp.swapaxes(
+                _inv_axis(at, dt, low, high, spacing, boundary_l, w, level),
+                -1, -2,
+            )
+
+        col_a = inv_h(cur, hl)   # low-W bands: (low-H, high-H)
+        col_d = inv_h(lh, hh)    # high-W bands
+        cur = _inv_axis(col_a, col_d, low, high, spacing, boundary_l, w, level)
     return cur
 
 
@@ -183,6 +246,15 @@ def wavedec2(
     if levels < 1:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_LEVEL, f"levels must be >= 1, got {levels}"
+        )
+    _check_2d(x, "wavedec2")
+    h_dim, w_dim = x.shape[-2], x.shape[-1]
+    div = 1 << levels
+    if h_dim % div or w_dim % div:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"Image dims {h_dim}x{w_dim} must be divisible by 2^levels = {div}",
+            suggestions=("Reduce levels or pad the image",),
         )
     details = []
     cur = x
