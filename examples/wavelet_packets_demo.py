@@ -62,6 +62,13 @@ def main() -> None:
     mse_out = float(((den - clean) ** 2).mean())
     print(f"\npacket-domain soft threshold: noise MSE {mse_in:.4f} -> {mse_out:.4f}")
 
+    # the packaged best-basis denoiser does this in one call (and estimates
+    # sigma from the noise floor across deepest-level nodes)
+    auto = vw.denoise_packet(x, "sym8", depth)
+    print(f"denoise_packet: MSE {float(((auto - clean) ** 2).mean()):.4f} "
+          f"(MODWT denoiser on the same signal: "
+          f"{float(((vw.denoise_multilevel(x, 'sym8', levels=depth) - clean) ** 2).mean()):.4f})")
+
     # --- decimated WPT round trip ------------------------------------------
     dt = vw.wpt(x, "db4", 3)
     print(f"\ndecimated WPT leaf block: {dt.leaves.shape} "

@@ -224,3 +224,37 @@ def test_error_paths():
         vw.reconstruct_basis(tree, [(5, 0)], "db4")  # outside tree
     with pytest.raises(InvalidArgumentError):
         vw.best_basis(tree, cost="nope")
+
+
+def test_denoise_packet_beats_modwt_on_highband_tone():
+    """Best-basis packet denoising preserves narrowband HF structure that
+    the level-tiling MODWT denoiser destroys."""
+    rng = np.random.default_rng(14)
+    t = np.arange(2048)
+    clean = np.sin(2 * np.pi * 0.41 * t) + np.sin(2 * np.pi * 0.02 * t)
+    x = jnp.asarray(clean + 0.5 * rng.standard_normal(2048))
+    c = jnp.asarray(clean)
+
+    def mse(a):
+        return float(((a - c) ** 2).mean())
+
+    packet = mse(vw.denoise_packet(x, "sym8", 4))
+    modwt = mse(vw.denoise_multilevel(x, "sym8", levels=4))
+    assert packet < 0.75 * modwt
+
+
+def test_denoise_packet_smooth_signal():
+    rng = np.random.default_rng(15)
+    t = np.arange(2048)
+    clean = 2 * np.sin(2 * np.pi * 0.02 * t) * np.exp(-(((t - 1024) / 600) ** 2))
+    x = jnp.asarray(clean + 0.5 * rng.standard_normal(2048))
+    c = jnp.asarray(clean)
+    den = vw.denoise_packet(x, "sym8", 4)
+    assert float(((den - c) ** 2).mean()) < 0.2 * float(((x - c) ** 2).mean())
+
+
+def test_denoise_packet_noiseless_near_identity():
+    t = np.arange(1024)
+    x = jnp.asarray(np.sin(2 * np.pi * 0.01 * t))
+    den = vw.denoise_packet(x, "db4", 3)
+    assert float(jnp.max(jnp.abs(den - x))) < 0.05
