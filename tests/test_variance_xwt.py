@@ -191,3 +191,27 @@ def test_xwt_batch_and_jit():
 def test_cross_wavelet_length_mismatch():
     with pytest.raises(InvalidArgumentError):
         vw.cross_wavelet(jnp.ones(64), jnp.ones(128), (2.0, 4.0), "morl")
+
+
+def test_ridge_blocked_matches_sequential():
+    """The blocked max-plus Viterbi equals the sequential scan DP exactly
+    (f64): same indices on random fields, batched, at awkward lengths."""
+    from vectorwave_tpu.transforms.xwt import (
+        _viterbi_indices_blocked,
+        _viterbi_indices_scan,
+    )
+
+    rng = np.random.default_rng(21)
+    log_scales = np.log2(np.geomspace(2, 64, 12))
+    pen = jnp.asarray(1.5 * (log_scales[:, None] - log_scales[None, :]) ** 2)
+    for n in (1025, 1153, 2048):
+        obs = jnp.asarray(rng.standard_normal((n, 3, 12)) * 2)
+        seq = np.asarray(_viterbi_indices_scan(obs, pen))
+        blk = np.asarray(_viterbi_indices_blocked(obs, pen, 128))
+        np.testing.assert_array_equal(seq, blk)
+    # public API routes long signals through the blocked path
+    coeffs = jnp.asarray(np.abs(rng.standard_normal((12, 2048))) + 0.01)
+    r = vw.extract_ridge(
+        type(cwt(jnp.ones(8), (2.0,), "morl"))(coeffs, tuple(np.geomspace(2, 64, 12)), "zero")
+    )
+    assert r.indices.shape == (2048,)
