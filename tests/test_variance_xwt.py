@@ -215,3 +215,71 @@ def test_ridge_blocked_matches_sequential():
         type(cwt(jnp.ones(8), (2.0,), "morl"))(coeffs, tuple(np.geomspace(2, 64, 12)), "zero")
     )
     assert r.indices.shape == (2048,)
+
+
+# ---------------------------------------------------------------------------
+# significance testing
+# ---------------------------------------------------------------------------
+
+
+def test_white_noise_exceedance_calibrated():
+    """~5% of white-noise power exceeds the 95% level at EVERY scale (the
+    exact bank-response background, not the single-frequency textbook
+    approximation)."""
+    rng = np.random.default_rng(30)
+    scales = scales_log(2, 64, 16)
+    rates = []
+    for _ in range(8):
+        x = jnp.asarray(rng.standard_normal(2048))
+        r = cwt(x, scales, "morl", analytic=True, boundary="periodic")
+        sig = vw.significant_power(r, x, "morl", lag1=0.0)
+        power = np.asarray(jnp.abs(r.coeffs) ** 2)
+        rates.append((power > np.asarray(sig.levels)[:, None]).mean(axis=-1))
+    rates = np.mean(rates, axis=0)
+    assert np.all(rates > 0.01) and np.all(rates < 0.12)
+    assert abs(float(np.mean(rates)) - 0.05) < 0.025
+
+
+def test_ar1_estimate_and_red_noise_null():
+    rng = np.random.default_rng(31)
+    n = 4096
+    eps = rng.standard_normal(4 * n)
+    ar = np.empty(4 * n)
+    ar[0] = eps[0]
+    for i in range(1, 4 * n):
+        ar[i] = 0.8 * ar[i - 1] + eps[i]
+    x = jnp.asarray(ar[-n:])
+    assert abs(float(vw.ar1_coefficient(x)) - 0.8) < 0.05
+    scales = scales_log(2, 64, 16)
+    r = cwt(x, scales, "morl", analytic=True, boundary="periodic")
+    sig = vw.significant_power(r, x, "morl")
+    rate = float(
+        (np.asarray(jnp.abs(r.coeffs) ** 2) > np.asarray(sig.levels)[:, None]).mean()
+    )
+    assert rate < 0.12  # red noise is NOT flagged as signal
+
+
+def test_tone_is_significant_at_its_scale():
+    rng = np.random.default_rng(32)
+    n = 2048
+    x = jnp.asarray(
+        np.sin(2 * np.pi * 0.05 * np.arange(n)) + 0.5 * rng.standard_normal(n)
+    )
+    r = cwt(x, scales_log(2, 64, 16), "morl", analytic=True)
+    sig = vw.significant_power(r, x, "morl")
+    si = int(np.argmax(np.asarray(jnp.abs(r.coeffs)).mean(axis=-1)))
+    assert float(np.asarray(sig.mask)[si].mean()) > 0.8
+    assert sig.coi_scales.shape == (n,)
+
+
+def test_cone_of_influence_shape():
+    coi = np.asarray(vw.cone_of_influence(101))
+    assert coi[0] == 0.0 and coi[-1] == 0.0
+    assert np.argmax(coi) in (50, 51) and np.all(np.diff(coi[:50]) > 0)
+
+
+def test_significance_errors():
+    with pytest.raises(InvalidArgumentError):
+        vw.significance_levels((2.0, 4.0), "morl", n=128, lag1=0.0, confidence=1.5)
+    with pytest.raises(InvalidArgumentError):
+        vw.cone_of_influence(0)
