@@ -283,3 +283,42 @@ def test_significance_errors():
         vw.significance_levels((2.0, 4.0), "morl", n=128, lag1=0.0, confidence=1.5)
     with pytest.raises(InvalidArgumentError):
         vw.cone_of_influence(0)
+
+
+def test_phase_randomized_surrogates_preserve_spectrum():
+    x = jnp.asarray(np.random.default_rng(40).standard_normal(512))
+    s = vw.phase_randomized_surrogates(x, 4)
+    assert s.shape == (4, 512)
+    for k in range(4):
+        np.testing.assert_allclose(
+            np.abs(np.fft.rfft(np.asarray(s[k]))),
+            np.abs(np.fft.rfft(np.asarray(x))),
+            atol=1e-9,
+        )
+    # surrogates differ from each other and the original
+    assert float(jnp.abs(s[0] - s[1]).max()) > 0.1
+    assert float(jnp.abs(s[0] - x).max()) > 0.1
+
+
+def test_coherence_significance_monte_carlo():
+    """Independent broadband noise stays below the surrogate level at most
+    scales; a phase-locked pair exceeds it at the shared-tone scale."""
+    rng = np.random.default_rng(41)
+    n = 1024
+    t = np.arange(n)
+    x = jnp.asarray(np.sin(2 * np.pi * 0.05 * t) + 0.4 * rng.standard_normal(n))
+    y = jnp.asarray(np.sin(2 * np.pi * 0.05 * t - 1.0) + 0.4 * rng.standard_normal(n))
+    indep = jnp.asarray(rng.standard_normal(n))
+    scales = scales_log(2, 64, 16)
+    lev = vw.coherence_significance(x, y, scales, "morl", n_surrogates=32)
+    assert lev.shape == (16,) and bool(jnp.all((lev >= 0) & (lev <= 1)))
+    obs = vw.wavelet_coherence(x, y, scales, "morl").mean_coherence()
+    si = int(np.argmax(np.asarray(obs)))
+    assert float(obs[si]) > float(lev[si])
+    lev_i = vw.coherence_significance(x, indep, scales, "morl", n_surrogates=32)
+    obs_i = vw.wavelet_coherence(x, indep, scales, "morl").mean_coherence()
+    assert float((obs_i <= lev_i).mean()) > 0.7
+    with pytest.raises(InvalidArgumentError):
+        vw.coherence_significance(x, y, scales, "morl", confidence=2.0)
+    with pytest.raises(InvalidArgumentError):
+        vw.phase_randomized_surrogates(x, 0)

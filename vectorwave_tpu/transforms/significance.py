@@ -33,7 +33,9 @@ from .cwt import CWTResult, _resolve_continuous, cwt, validate_scales
 
 __all__ = [
     "ar1_coefficient",
+    "coherence_significance",
     "cone_of_influence",
+    "phase_randomized_surrogates",
     "significance_levels",
     "significant_power",
     "SignificanceResult",
@@ -179,3 +181,73 @@ def significant_power(
     scale_col = jnp.asarray(np.asarray(result.scales))[:, None]  # [S, 1]
     mask = (power > levels[..., None]) & (scale_col <= coi[None, :])
     return SignificanceResult(levels, mask, coi)
+
+
+def phase_randomized_surrogates(
+    x: jnp.ndarray, n_surrogates: int, *, key=None
+) -> jnp.ndarray:
+    """``[K, ..., N]`` surrogates with x's exact power spectrum but random
+    phases — the standard null for coherence/phase-locking tests (same
+    autocorrelation, no cross-coupling)."""
+    import jax
+
+    if n_surrogates < 1:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"n_surrogates must be >= 1, got {n_surrogates}",
+        )
+    if key is None:
+        key = jax.random.key(0)
+    n = x.shape[-1]
+    spec = jnp.fft.rfft(x, axis=-1)
+    phases = jax.random.uniform(
+        key, (n_surrogates, *spec.shape), minval=0.0, maxval=2.0 * math.pi
+    )
+    # keep DC (and Nyquist, if present) real: zero their random phase
+    keep = np.zeros(spec.shape[-1])
+    keep[0] = 1.0
+    if n % 2 == 0:
+        keep[-1] = 1.0
+    phases = phases * (1.0 - jnp.asarray(keep))
+    rot = jnp.cos(phases) + 1j * jnp.sin(phases)
+    return jnp.fft.irfft(spec[None] * rot, n=n, axis=-1).astype(x.dtype)
+
+
+def coherence_significance(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    scales: Sequence[float],
+    wavelet="morl",
+    *,
+    n_surrogates: int = 64,
+    confidence: float = 0.95,
+    key=None,
+    **coherence_kwargs,
+) -> jnp.ndarray:
+    """Per-scale coherence significance levels ``[S]`` by Monte Carlo.
+
+    Computes the wavelet coherence of ``n_surrogates`` phase-randomized
+    surrogate PAIRS (same spectra as x and y, independent phases) in ONE
+    batched call — the surrogate axis is just a batch axis, so the whole
+    null ensemble is a single fused device computation — and returns the
+    per-scale ``confidence`` quantile of the time-averaged null coherence.
+    Observed ``mean_coherence()`` above this level rejects independence.
+    """
+    import jax
+
+    from .xwt import wavelet_coherence
+
+    if not (0.0 < confidence < 1.0):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"confidence must be in (0, 1), got {confidence}",
+        )
+    if key is None:
+        key = jax.random.key(7)
+    kx, ky = jax.random.split(key)
+    sx = phase_randomized_surrogates(x, n_surrogates, key=kx)
+    sy = phase_randomized_surrogates(y, n_surrogates, key=ky)
+    null = wavelet_coherence(
+        sx, sy, scales, wavelet, **coherence_kwargs
+    ).mean_coherence()  # [K, ..., S]
+    return jnp.quantile(null, confidence, axis=0)
