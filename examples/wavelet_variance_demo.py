@@ -55,6 +55,30 @@ def main() -> None:
         print(f"  level {j} (tau {int(s):4d}): {p:+.2f} {bar}")
     print("short scales ~ 0 (independent noise), long scales -> 1 (shared cycle)")
 
+    # streaming: fold arriving blocks into an O(J) accumulator — the result
+    # EQUALS the whole-signal estimator (boundary-free coefficients only)
+    from vectorwave_tpu.streaming import modwt_stream_block, streaming_init
+
+    st = streaming_init("db4", 6)
+    acc = vw.variance_stream_init("db4", 6)
+    for i in range(0, n, 1024):
+        st, res = modwt_stream_block(st, wn[i : i + 1024], "db4", boundary="zero")
+        acc = vw.variance_stream_update(acc, res.details, "db4")
+    streamed = vw.variance_stream_result(acc)
+    drift = float(jnp.max(jnp.abs(streamed.variance - rw.variance)))
+    print(f"\nstreamed-vs-batch wavelet variance max |diff|: {drift:.2e}")
+
+    # long memory: Hurst exponent (white noise -> 0.5) + variance break test
+    h = vw.hurst_exponent(wn, "db4", 8)
+    print(f"Hurst of white noise: {float(h.hurst):.3f} "
+          f"(+/- {float(h.stderr):.3f}, truth 0.5)")
+    broke = np.asarray(wn).copy()
+    broke[n // 2 :] *= 2.5
+    tst = vw.variance_change_test(jnp.asarray(broke), "db4", level=1)
+    print(f"variance break: stat {float(tst.statistic):.2f} vs crit "
+          f"{tst.critical_value:.2f} -> reject={bool(tst.reject)}, "
+          f"located at t~{int(tst.location)} (injected at {n // 2})")
+
 
 if __name__ == "__main__":
     main()

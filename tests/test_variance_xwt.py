@@ -16,6 +16,7 @@ import pytest
 
 import vectorwave_tpu as vw
 from vectorwave_tpu.errors import InvalidArgumentError
+from vectorwave_tpu.streaming import modwt_stream_block, streaming_init
 from vectorwave_tpu.transforms.cwt import cwt, scales_log
 
 
@@ -322,3 +323,62 @@ def test_coherence_significance_monte_carlo():
         vw.coherence_significance(x, y, scales, "morl", confidence=2.0)
     with pytest.raises(InvalidArgumentError):
         vw.phase_randomized_surrogates(x, 0)
+
+
+# ---------------------------------------------------------------------------
+# streaming (online) wavelet variance
+# ---------------------------------------------------------------------------
+
+
+def test_variance_stream_matches_whole_signal():
+    """Folding streamed zero-boundary blocks reproduces the Percival-Walden
+    unbiased estimator exactly: the boundary-free coefficients (t >= L_j - 1)
+    are identical between the zero-history streaming transform and the
+    periodic whole-signal transform."""
+    rng = np.random.default_rng(7)
+    n, block = 1024, 128
+    x = jnp.asarray(rng.standard_normal(n), jnp.float64)
+    ref = vw.wavelet_variance(x, "db4", 4)
+
+    st = streaming_init("db4", 4, dtype=jnp.float64)
+    acc = vw.variance_stream_init("db4", 4, dtype=jnp.float64)
+    for i in range(0, n, block):
+        st, res = modwt_stream_block(st, x[i : i + block], "db4", boundary="zero")
+        acc = vw.variance_stream_update(acc, res.details, "db4")
+    out = vw.variance_stream_result(acc)
+
+    np.testing.assert_allclose(out.variance, ref.variance, rtol=1e-12)
+    np.testing.assert_allclose(out.edof, ref.edof, rtol=1e-12)
+    np.testing.assert_allclose(out.ci_low, ref.ci_low, rtol=1e-10)
+    np.testing.assert_allclose(out.ci_high, ref.ci_high, rtol=1e-10)
+    assert int(acc.position) == n
+
+
+def test_variance_stream_batched_and_jittable():
+    rng = np.random.default_rng(8)
+    n, block = 512, 64
+    x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    ref = vw.wavelet_variance(x, "haar", 3)
+
+    step = jax.jit(
+        lambda st, acc, blk: (
+            lambda st2, res: (st2, vw.variance_stream_update(acc, res.details, "haar"))
+        )(*modwt_stream_block(st, blk, "haar", boundary="zero"))
+    )
+    st = streaming_init("haar", 3, batch_shape=(3,))
+    acc = vw.variance_stream_init("haar", 3, batch_shape=(3,))
+    for i in range(0, n, block):
+        st, acc = step(st, acc, x[:, i : i + block])
+    out = vw.variance_stream_result(acc)
+    assert out.variance.shape == (3, 3)
+    np.testing.assert_allclose(out.variance, ref.variance, rtol=2e-5)
+
+
+def test_variance_stream_validation():
+    with pytest.raises(InvalidArgumentError):
+        vw.variance_stream_init("db4", 0)
+    acc = vw.variance_stream_init("db4", 4)
+    st = streaming_init("db4", 2)
+    st, res = modwt_stream_block(st, jnp.zeros(64), "db4", boundary="zero")
+    with pytest.raises(InvalidArgumentError):
+        vw.variance_stream_update(acc, res.details, "db4")

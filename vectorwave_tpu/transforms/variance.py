@@ -32,12 +32,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..errors import ErrorCode, InvalidArgumentError
-from ..ops.convolve import effective_length
 from .modwt import _resolve_discrete
 from .multilevel import max_levels, modwt_multilevel
 
 __all__ = [
     "WaveletVarianceResult",
+    "VarianceStreamState",
+    "variance_stream_init",
+    "variance_stream_update",
+    "variance_stream_result",
     "wavelet_variance",
     "wavelet_covariance",
     "wavelet_correlation",
@@ -69,6 +72,18 @@ def _chi2_quantile(p: float, k: np.ndarray) -> np.ndarray:
     return k * (1.0 - h + z * np.sqrt(h)) ** 3
 
 
+def cascade_length(filter_length: int, level: int) -> int:
+    """Cumulative level-j MODWT filter width ``L_j = (2^j - 1)(L - 1) + 1``.
+
+    The à trous stage filter at level ``j`` spans ``(L-1)*2^(j-1)+1``
+    samples of the *previous approximation*, but those approximations
+    themselves reach further back; the composition over the cascade has
+    exactly ``L_j`` support in the raw signal (Percival–Walden eq. 96a).
+    Boundary-free coefficients are the ``t >= L_j - 1``.
+    """
+    return ((1 << level) - 1) * (filter_length - 1) + 1
+
+
 def _interior_stats(
     details: tuple[jnp.ndarray, ...],
     other: tuple[jnp.ndarray, ...] | None,
@@ -85,7 +100,7 @@ def _interior_stats(
     for j, d in enumerate(details, start=1):
         dy = d if other is None else other[j - 1]
         if unbiased:
-            start = effective_length(filter_length, j) - 1
+            start = cascade_length(filter_length, j) - 1
             prod = (d * dy)[..., start:]
             counts[j - 1] = n - start
         else:
@@ -98,20 +113,24 @@ def _interior_stats(
 def _resolve_levels(x, wavelet, levels, unbiased: bool) -> int:
     w = _resolve_discrete(wavelet)
     n = x.shape[-1]
-    deepest = max_levels(n, w) if unbiased else max(
-        1, int(math.floor(math.log2(max(n, 2))))
-    )
+    if unbiased:
+        deepest = 0
+        while cascade_length(w.filter_length, deepest + 1) <= n:
+            deepest += 1
+        deepest = min(deepest, max_levels(n, w))
+    else:
+        deepest = max(1, int(math.floor(math.log2(max(n, 2)))))
     if levels is None:
         return max(1, deepest)
     if levels < 1:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_LEVEL, f"levels must be >= 1, got {levels}"
         )
-    if unbiased and effective_length(w.filter_length, levels) > n:
+    if unbiased and cascade_length(w.filter_length, levels) > n:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_LEVEL,
             f"level {levels} has no boundary-free coefficients at N={n} "
-            f"(L_j = {effective_length(w.filter_length, levels)})",
+            f"(L_j = {cascade_length(w.filter_length, levels)})",
             suggestions=(f"Use levels <= {deepest} or unbiased=False",),
         )
     return levels
@@ -194,3 +213,97 @@ def wavelet_correlation(
     vx = wavelet_variance(x, w, levels, unbiased=unbiased).variance
     vy = wavelet_variance(y, w, levels, unbiased=unbiased).variance
     return cov / jnp.sqrt(vx * vy), scales
+
+
+# ---------------------------------------------------------------------------
+# Streaming (online) wavelet variance
+# ---------------------------------------------------------------------------
+
+
+class VarianceStreamState(NamedTuple):
+    """Online accumulator: per-level sum of squared boundary-free details.
+
+    A pytree carry (jittable, orbax-checkpointable) to compose with
+    ``streaming.modwt_stream_block``: the unbiased estimator uses exactly
+    the coefficients that involve no boundary extension (``t >= L_j - 1``),
+    and those are identical between the zero-boundary streaming transform
+    and the periodic whole-signal transform — so the streamed estimate
+    EQUALS :func:`wavelet_variance` on the concatenated signal.
+    """
+
+    sumsq: jnp.ndarray  # [..., J]
+    counts: jnp.ndarray  # [J] effective samples per level
+    position: jnp.ndarray  # scalar int32: samples seen so far
+
+
+def variance_stream_init(
+    wavelet="db4",
+    levels: int = 4,
+    *,
+    batch_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+) -> VarianceStreamState:
+    if levels < 1:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_LEVEL, f"levels must be >= 1, got {levels}"
+        )
+    _resolve_discrete(wavelet)
+    return VarianceStreamState(
+        jnp.zeros(batch_shape + (levels,), dtype),
+        jnp.zeros((levels,), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )
+
+
+def variance_stream_update(
+    state: VarianceStreamState,
+    details: tuple[jnp.ndarray, ...],
+    wavelet,
+) -> VarianceStreamState:
+    """Fold one streamed block's detail coefficients into the accumulator.
+
+    ``details`` is ``MultiLevelMODWTResult.details`` from
+    ``modwt_stream_block(..., boundary="zero")``; jittable (the block
+    length is static, the stream position is a traced scalar).
+    """
+    w = _resolve_discrete(wavelet)
+    if len(details) != state.counts.shape[0]:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_LEVEL,
+            f"state has {state.counts.shape[0]} levels, block has {len(details)}",
+        )
+    block_len = details[0].shape[-1]
+    t_global = state.position + jnp.arange(block_len)
+    sumsq = []
+    counts = []
+    for j, d in enumerate(details, start=1):
+        start = cascade_length(w.filter_length, j) - 1
+        mask = (t_global >= start).astype(d.dtype)
+        sumsq.append(state.sumsq[..., j - 1] + (d * d * mask).sum(axis=-1))
+        counts.append(state.counts[j - 1] + mask.sum().astype(jnp.int32))
+    return VarianceStreamState(
+        jnp.stack(sumsq, axis=-1),
+        jnp.stack(counts),
+        state.position + block_len,
+    )
+
+
+def variance_stream_result(
+    state: VarianceStreamState,
+    *,
+    confidence: float = 0.95,
+    dt: float = 1.0,
+) -> WaveletVarianceResult:
+    """Finalize the online estimate (variance + chi-squared intervals)."""
+    levels = state.counts.shape[0]
+    counts = np.maximum(np.asarray(state.counts), 1)
+    var = state.sumsq / jnp.asarray(counts, state.sumsq.dtype)
+    edof = np.maximum(counts / np.exp2(np.arange(1, levels + 1)), 1.0)
+    alpha = 1.0 - confidence
+    q_hi = _chi2_quantile(1.0 - alpha / 2.0, edof)
+    q_lo = _chi2_quantile(alpha / 2.0, edof)
+    edof_j = jnp.asarray(edof, var.dtype)
+    ci_low = edof_j * var / jnp.asarray(q_hi, var.dtype)
+    ci_high = edof_j * var / jnp.asarray(q_lo, var.dtype)
+    scales = (2.0 ** np.arange(levels)) * dt
+    return WaveletVarianceResult(var, ci_low, ci_high, edof, scales)
