@@ -22,7 +22,6 @@ iterations and under-reported throughput ~4x.)
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 
@@ -57,12 +56,9 @@ def _measure(fn, x, iters=ITERS, reps=3):
 
 
 def main() -> None:
-    cache_dir = os.path.expanduser("~/.cache/vectorwave_tpu_jax")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import vectorwave_tpu as vw
+
+    vw.enable_compilation_cache()
 
     device = jax.devices()[0]
     on_tpu = device.platform != "cpu"

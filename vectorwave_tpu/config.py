@@ -65,6 +65,28 @@ def get_fused_precision() -> str:
     return _fused_precision
 
 
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Persist XLA compilations across processes.
+
+    On tunneled/remote TPU runtimes a cold compile can take minutes; the
+    persistent cache makes every later process hit it in milliseconds.
+    Call once at startup (bench.py and the examples that run standalone on
+    TPU do).  Returns the cache directory used.
+    """
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "VECTORWAVE_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "vectorwave_tpu"),
+        )
+    path = os.path.join(path, "xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
+
 @dataclasses.dataclass(frozen=True)
 class TransformConfig:
     """Bundle of transform options (reference: TransformConfig builder).

@@ -15,6 +15,7 @@ from .sliding import (
     sliding_step_multilevel,
     step_size,
 )
+from .ingest import StreamIngest
 from .denoiser_stream import (
     StreamingDenoiser,
     StreamingDenoiserState,
@@ -36,6 +37,7 @@ __all__ = [
     "sliding_step",
     "sliding_step_multilevel",
     "step_size",
+    "StreamIngest",
     "StreamingDenoiserState",
     "streaming_denoiser_init",
     "streaming_denoise_block",
