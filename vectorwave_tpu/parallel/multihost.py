@@ -113,23 +113,43 @@ def make_multihost_mesh(
     return Mesh(grid, axis_names=(HOST_AXIS, CHIP_AXIS))
 
 
-def _place(x: jnp.ndarray, mesh: Mesh):
-    """Shard [batch, N] with batch over hosts and the signal over chips."""
-    x = jnp.asarray(x)
+def _mesh_process_count(mesh: Mesh) -> int:
+    return len({getattr(d, "process_index", 0) for d in mesh.devices.flat})
+
+
+def _place(x, mesh: Mesh):
+    """Shard [batch, N] with batch over hosts and the signal over chips.
+
+    Single controller: ``x`` is the full global block.  Multi-controller
+    (one process per mesh host row): each process passes its LOCAL batch
+    rows — the standard JAX convention — and the global array is assembled
+    from per-process data (an already-correctly-sharded ``jax.Array`` passes
+    through untouched).
+    """
+    sharding = NamedSharding(mesh, P(HOST_AXIS, CHIP_AXIS))
     if x.ndim != 2:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_SHAPE,
             f"multihost facade expects [batch, n], got shape {x.shape}",
             suggestions=("Reshape leading axes into one batch axis",),
         )
+    if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
+        return x
     n_hosts = mesh.shape[HOST_AXIS]
+    if _mesh_process_count(mesh) > 1:
+        # x = this process's rows; the global batch stacks one block per host
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, (x.shape[0] * n_hosts, x.shape[1])
+        )
+    x = jnp.asarray(x)
     if x.shape[0] % n_hosts != 0:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_SHAPE,
             f"batch {x.shape[0]} not divisible by {n_hosts} hosts",
             suggestions=("Pad the batch to a multiple of the host count",),
         )
-    return jax.device_put(x, NamedSharding(mesh, P(HOST_AXIS, CHIP_AXIS)))
+    return jax.device_put(x, sharding)
 
 
 def modwt_multilevel_multihost(
