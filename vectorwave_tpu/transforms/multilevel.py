@@ -158,6 +158,14 @@ def _pallas_eligible(
     if levels < 2:
         return False
     n = x.shape[-1]
+    # Short signals (streaming windows, small demos) stay on the jnp path:
+    # below ~4K samples the MXU kernel has no bandwidth advantage (the whole
+    # problem fits VMEM; dispatch latency dominates), its banded-matmul
+    # tiling degenerates, and tiny shapes are outside the on-silicon
+    # validation envelope (tools/tpu_smoke.py: 16K+).  Explicit
+    # backend="pallas" still forces the kernel at any size.
+    if n < 4096:
+        return False
     halo_pad = -(-max(total_halo(w.filter_length, levels), 1) // 128) * 128
     return halo_pad <= n
 
