@@ -138,6 +138,25 @@ def test_magnitude_envelope_smooth_for_tone():
     assert (mag_dwt.max() - mag_dwt.min()) / mag_dwt.mean() > 1.0
 
 
+def test_coefficient_delay_aligns_features():
+    # an isolated burst's envelope peak should land at its position once
+    # the accumulated group delay is rolled off
+    n = 1024
+    pos = 400
+    x = np.zeros(n, np.float32)
+    t = np.arange(n)
+    x = (np.exp(-0.5 * ((t - pos) / 30.0) ** 2) * np.cos(2 * np.pi * 0.05 * t)).astype(
+        np.float32
+    )
+    res = vw.dtcwt(jnp.asarray(x), levels=5)
+    energies = [float(jnp.sum(jnp.abs(z) ** 2)) for z in res.highpasses]
+    j = int(np.argmax(energies)) + 1
+    mag = np.asarray(jnp.abs(res.highpasses[j - 1]))
+    shift = round(vw.coefficient_delay(j))
+    peak = (int(np.argmax(np.roll(mag, shift))) * (1 << j)) % 1024
+    assert abs(peak - pos) <= 2 * (1 << j)
+
+
 def test_validation_and_max_levels():
     assert vw.dtcwt_max_levels(1024) == 6
     with pytest.raises(VectorWaveError):

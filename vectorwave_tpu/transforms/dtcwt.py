@@ -39,7 +39,31 @@ from ..wavelets.base import WaveletType
 from ..wavelets.qshift import qshift_filters
 from .modwt import _resolve_discrete, _validate_signal
 
-__all__ = ["DTCWTResult", "dtcwt", "idtcwt", "dtcwt_max_levels"]
+__all__ = [
+    "DTCWTResult",
+    "dtcwt",
+    "idtcwt",
+    "dtcwt_max_levels",
+    "coefficient_delay",
+]
+
+
+def coefficient_delay(level: int, wavelet="sym8") -> float:
+    """Accumulated analysis group delay at ``level``, in units of that
+    level's coefficient spacing (``2^level`` input samples).
+
+    A feature at input position ``p`` lands at coefficient index
+    ``(p - delay_samples) / 2^level`` (correlation-style analysis), so under
+    periodic boundaries rolling a magnitude field by
+    ``+round(coefficient_delay(j))`` aligns it with the signal (applies per
+    axis for the 2-D transform).
+    """
+    h1, _ = _level1(wavelet)
+    hq, _ = qshift_filters()
+    delay = (len(h1) - 1) / 2.0  # level-1 stage, input samples
+    for stage in range(2, level + 1):
+        delay += (2 ** (stage - 1)) * (len(hq) - 1) / 2.0
+    return delay / (1 << level)
 
 
 class DTCWTResult(NamedTuple):
