@@ -5,11 +5,14 @@ from .denoiser import (
     threshold_coeffs,
 )
 from .packet import denoise_packet
+from .dtcwt_shrink import dtcwt2_denoise, dtcwt_denoise
 
 __all__ = [
     "denoise",
     "denoise_fixed",
     "denoise_multilevel",
+    "dtcwt_denoise",
+    "dtcwt2_denoise",
     "denoise_packet",
     "threshold_coeffs",
 ]
