@@ -54,6 +54,16 @@ def test_clean_signal_nearly_untouched():
     assert _snr(np.asarray(clean), np.asarray(den)) > 15
 
 
+def test_local_power_window_is_uniform():
+    from vectorwave_tpu.denoise.dtcwt_shrink import _local_power
+
+    delta = jnp.zeros(32).at[16].set(7.0)
+    out = np.asarray(_local_power(delta, 7, (0,)))
+    # every tap inside the centered 7-window contributes exactly 1/7
+    np.testing.assert_allclose(out[13:20], np.ones(7), rtol=1e-6)
+    assert out[12] == 0 and out[20] == 0
+
+
 def test_batch_and_explicit_sigma():
     rng = np.random.default_rng(2)
     clean = np.stack([_doppler(1024), -_doppler(1024)])

@@ -114,6 +114,26 @@ def test_batch_axes_shapes():
     assert res.levels[0] == 2
 
 
+def test_non_dyadic_length_default_levels():
+    # N=1000: only 3 dyadic levels divide it; the default max_level must
+    # clamp to that instead of crashing in wavedec
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(1000))
+    res = vw.multifractal_spectrum(x, "db2", min_level=1)
+    assert res.levels[-1] <= 3
+    assert np.all(np.isfinite(np.asarray(res.zeta)))
+
+
+def test_flat_segments_do_not_produce_nan():
+    # long zero segments give exactly-zero leaders; negative-q moments must
+    # stay finite (relative floor, not finfo.tiny)
+    rng = np.random.default_rng(1)
+    x = np.zeros(4096, np.float32)
+    x[:1024] = rng.standard_normal(1024)
+    res = vw.multifractal_spectrum(jnp.asarray(x), "db3", min_level=2)
+    for leaf in (res.zeta, res.h, res.D, res.c1, res.c2):
+        assert np.all(np.isfinite(np.asarray(leaf))), leaf
+
+
 def test_validation():
     x = jnp.zeros(4096) + jnp.asarray(
         np.random.default_rng(0).standard_normal(4096)

@@ -65,6 +65,15 @@ def get_fused_precision() -> str:
     return _fused_precision
 
 
+def cache_root() -> str:
+    """Root directory for on-disk caches (XLA programs, native builds,
+    perf calibration): ``$VECTORWAVE_TPU_CACHE`` or ``~/.cache/vectorwave_tpu``."""
+    return os.environ.get(
+        "VECTORWAVE_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vectorwave_tpu"),
+    )
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Persist XLA compilations across processes.
 
@@ -76,10 +85,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
     if path is None:
-        path = os.environ.get(
-            "VECTORWAVE_TPU_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "vectorwave_tpu"),
-        )
+        path = cache_root()
     path = os.path.join(path, "xla")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

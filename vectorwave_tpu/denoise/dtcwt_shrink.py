@@ -39,9 +39,10 @@ def _local_power(mag2: jnp.ndarray, window: int, axes) -> jnp.ndarray:
     """Moving-average of ``mag2`` over ``window`` per listed axis (periodic)."""
     out = mag2
     for ax in axes:
-        acc = out
-        for shift in range(1, window):
-            acc = acc + jnp.roll(out, shift - window // 2, axis=ax)
+        acc = None
+        for offset in range(-(window // 2), window - window // 2):
+            term = jnp.roll(out, offset, axis=ax) if offset else out
+            acc = term if acc is None else acc + term
         out = acc / window
     return out
 
@@ -133,8 +134,7 @@ def dtcwt2_denoise(
             )
         else:
             p2 = jnp.zeros_like(jnp.abs(z))
-        s2 = sigma_n2 if not hasattr(sigma_n2, "ndim") or sigma_n2.ndim == 0 else sigma_n2
         new_hp.append(
-            _bivariate(z, p2, s2, window, (z.ndim - 2, z.ndim - 1))
+            _bivariate(z, p2, sigma_n2, window, (z.ndim - 2, z.ndim - 1))
         )
     return idtcwt2(DTCWT2Result(tuple(new_hp), res.lowpasses), wavelet)

@@ -41,27 +41,25 @@ _build_error: str | None = None
 
 
 def _cache_dir() -> str:
-    root = os.environ.get(
-        "VECTORWAVE_TPU_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "vectorwave_tpu"),
-    )
-    path = os.path.join(root, "native")
+    from ..config import cache_root
+
+    path = os.path.join(cache_root(), "native")
     os.makedirs(path, exist_ok=True)
     return path
 
 
 def _build_library() -> str | None:
     """Compile ringbuf.cpp into a shared library, cached by source hash."""
-    with open(_SOURCE, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
-    so_path = os.path.join(_cache_dir(), f"ringbuf-{digest}.so")
-    if os.path.exists(so_path):
-        return so_path
     cmd = [
         "g++", "-O3", "-std=c++17", "-fPIC", "-shared",
         "-o", None, _SOURCE,
     ]
     try:
+        with open(_SOURCE, "rb") as fh:
+            digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+        so_path = os.path.join(_cache_dir(), f"ringbuf-{digest}.so")
+        if os.path.exists(so_path):
+            return so_path
         with tempfile.NamedTemporaryFile(
             dir=_cache_dir(), suffix=".so.tmp", delete=False
         ) as tmp:
@@ -77,10 +75,11 @@ def _build_library() -> str | None:
         global _build_error
         _build_error = str(exc)
         _log.warning("native ringbuf build failed (%s); using NumPy fallback", exc)
-        try:
-            os.unlink(cmd[6])
-        except OSError:
-            pass
+        if cmd[6] is not None:
+            try:
+                os.unlink(cmd[6])
+            except OSError:
+                pass
         return None
 
 

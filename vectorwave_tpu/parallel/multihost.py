@@ -127,6 +127,8 @@ def _place(x, mesh: Mesh):
     through untouched).
     """
     sharding = NamedSharding(mesh, P(HOST_AXIS, CHIP_AXIS))
+    if not hasattr(x, "ndim"):
+        x = np.asarray(x)
     if x.ndim != 2:
         raise InvalidArgumentError(
             ErrorCode.VAL_INVALID_SHAPE,

@@ -28,13 +28,10 @@ import jax.numpy as jnp
 
 from ..errors import ErrorCode, InvalidArgumentError
 from ..native import RingBuffer
+from ..transforms.cwt import _next_pow2
 from ..transforms.modwt import _resolve_discrete, modwt
 from ..transforms.multilevel import modwt_multilevel
 from .sliding import step_size
-
-
-def _next_pow2(k: int) -> int:
-    return 1 << (k - 1).bit_length()
 
 
 class StreamIngest:

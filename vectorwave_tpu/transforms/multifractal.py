@@ -148,7 +148,10 @@ def multifractal_spectrum(
         )
     w = _resolve_discrete(wavelet)
     n = x.shape[-1]
-    deepest = int(math.floor(math.log2(max(n // 8, 2))))
+    # deepest octave with >= 8 leaders, capped by the dyadic divisibility
+    # the decimated cascade requires (N % 2^j == 0)
+    divis = (n & -n).bit_length() - 1 if n else 0
+    deepest = min(int(math.floor(math.log2(max(n // 8, 2)))), divis)
     if max_level is None:
         max_level = deepest
     max_level = min(max_level, deepest)
@@ -179,13 +182,23 @@ def multifractal_spectrum(
     log_s, u_stat, v_stat, m1, m2 = [], [], [], [], []
     for j in js:
         lam = leaders[int(j) - 1]
-        lam = jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
+        # relative floor: an exactly-zero leader (flat segment + vanishing
+        # moments) floored at finfo.tiny would overflow lam^q for q < 0;
+        # 1e-7 keeps lam^q finite in float32 down to q = -5 while sitting
+        # far below any genuine leader's dynamic range
+        floor = 1e-7 * jnp.max(lam, axis=-1, keepdims=True)
+        lam = jnp.maximum(lam, jnp.maximum(floor, jnp.finfo(lam.dtype).tiny))
         log_lam = jnp.log2(lam)
-        # [..., Q, K] powers via exp(q * log lambda) — one fused broadcast
-        powed = jnp.exp2(q_arr[..., :, None] * log_lam[..., None, :])
+        # [..., Q, K] powers computed in MAX-SHIFTED log space so lam^q
+        # stays finite in float32 for every |q| <= 5 regardless of the
+        # leaders' absolute magnitude: S(q) = 2^(q log_max) mean(2^(q dlog))
+        log_max = jnp.max(log_lam, axis=-1, keepdims=True)
+        powed = jnp.exp2(
+            q_arr[..., :, None] * (log_lam - log_max)[..., None, :]
+        )
         s = jnp.mean(powed, axis=-1)
         r = powed / jnp.sum(powed, axis=-1, keepdims=True)
-        log_s.append(jnp.log2(s))
+        log_s.append(q_arr * log_max[..., None, 0] + jnp.log2(s))
         u_stat.append(jnp.sum(r * log_lam[..., None, :], axis=-1))
         v_stat.append(jnp.sum(r * _safe_log2(r), axis=-1))
         m1.append(jnp.mean(log_lam, axis=-1))
