@@ -82,3 +82,113 @@ def test_swt_editing_across_ranks():
     back = vw.iswt(thr, "db4")
     assert back.shape == x.shape
     assert bool(jnp.isfinite(back).all())
+
+
+# ---- new-transform sweeps (DTCWT 1-D/2-D, cwt2, scattering, leaders) ------
+
+
+def _dyadic_configs(n_cases=10, seed=77):
+    rng = np.random.default_rng(seed)
+    for i in range(n_cases):
+        levels = int(rng.integers(1, 5))
+        n = (1 << levels) * int(rng.integers(4, 40))
+        batch = () if rng.random() < 0.5 else (int(rng.integers(1, 4)),)
+        yield pytest.param(n, levels, batch, i, id=f"{i}-n{n}-J{levels}-{batch}")
+
+
+@pytest.mark.parametrize("n,levels,batch,seed", _dyadic_configs())
+def test_dtcwt_properties(n, levels, batch, seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal(batch + (n,)).astype(np.float32))
+    res = vw.dtcwt(x, levels=levels)
+    xr = vw.idtcwt(res)
+    assert xr.shape == x.shape
+    assert float(jnp.max(jnp.abs(xr - x))) < 1e-4
+    total = sum(float(jnp.sum(jnp.abs(z) ** 2)) for z in res.highpasses)
+    total += 0.5 * float(jnp.sum(res.lowpass_a**2) + jnp.sum(res.lowpass_b**2))
+    assert total == pytest.approx(float(jnp.sum(x**2)), rel=1e-4)
+
+
+def _dyadic2d_configs(n_cases=6, seed=78):
+    rng = np.random.default_rng(seed)
+    for i in range(n_cases):
+        levels = int(rng.integers(1, 4))
+        h = (1 << levels) * int(rng.integers(4, 12))
+        w = (1 << levels) * int(rng.integers(4, 12))
+        yield pytest.param(h, w, levels, i, id=f"{i}-{h}x{w}-J{levels}")
+
+
+@pytest.mark.parametrize("h,w,levels,seed", _dyadic2d_configs())
+def test_dtcwt2_properties(h, w, levels, seed):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    res = vw.dtcwt2(img, levels=levels)
+    rec = vw.idtcwt2(res)
+    assert float(jnp.max(jnp.abs(rec - img))) < 2e-4
+    hp = sum(float(jnp.sum(jnp.abs(z) ** 2)) for z in res.highpasses)
+    lp = float(jnp.sum(res.lowpasses**2))
+    assert (2 * hp + lp) / 4 == pytest.approx(float(jnp.sum(img**2)), rel=1e-4)
+
+
+def _cwt2_configs(n_cases=6, seed=79):
+    rng = np.random.default_rng(seed)
+    wavelets = ["morl2", "mexh2", "gaus2"]
+    for i in range(n_cases):
+        h = int(rng.integers(24, 96))
+        w = int(rng.integers(24, 96))
+        n_scales = int(rng.integers(1, 6))
+        wname = wavelets[rng.integers(3)]
+        yield pytest.param(h, w, n_scales, wname, i, id=f"{i}-{h}x{w}-{wname}")
+
+
+@pytest.mark.parametrize("h,w,n_scales,wname,seed", _cwt2_configs())
+def test_cwt2_properties(h, w, n_scales, wname, seed):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    scales = tuple(np.geomspace(1.5, 8, n_scales))
+    wav = vw.morlet2() if wname == "morl2" else (
+        vw.mexican_hat2() if wname == "mexh2" else vw.gaussian2(2)
+    )
+    angles = (0.0,) if wav.isotropic else (0.0, np.pi / 3)
+    res = vw.cwt2(img, scales, wav, angles=angles)
+    assert res.coeffs.shape == (n_scales, len(angles), h, w)
+    assert bool(jnp.isfinite(jnp.abs(res.coeffs)).all())
+    rec = vw.icwt2(res, wav)
+    assert rec.shape == (h, w)
+    assert bool(jnp.isfinite(rec).all())
+
+
+def _scatter_configs(n_cases=6, seed=80):
+    rng = np.random.default_rng(seed)
+    for i in range(n_cases):
+        J = int(rng.integers(3, 8))
+        Q = int(rng.integers(1, 9))
+        n = (1 << J) * int(rng.integers(2, 20))
+        order = int(rng.integers(1, 3))
+        yield pytest.param(n, J, Q, order, i, id=f"{i}-n{n}-J{J}-Q{Q}-o{order}")
+
+
+@pytest.mark.parametrize("n,J,Q,order,seed", _scatter_configs())
+def test_scattering_properties(n, J, Q, order, seed):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+    res = vw.scattering1d(x, J=J, Q=Q, order=order)
+    t = n // (1 << J)
+    assert res.s0.shape == (2, t)
+    assert res.s1.shape[0] == 2 and res.s1.shape[-1] == t
+    assert float(jnp.min(res.s1)) >= 0
+    feats = res.feature_vector()
+    assert bool(jnp.isfinite(feats).all())
+    if order == 2:
+        assert res.s2.shape[-1] == t
+        if res.s2.shape[-2]:  # small J can leave no valid second-order path
+            assert float(jnp.min(res.s2)) >= 0
+
+
+def test_multifractal_random_lengths_finite():
+    rng = np.random.default_rng(81)
+    for n in (1000, 1536, 4096, 5000):
+        x = jnp.asarray(np.cumsum(rng.standard_normal(n)).astype(np.float32))
+        res = vw.multifractal_spectrum(x, "db2", min_level=1)
+        for leaf in (res.zeta, res.h, res.D, res.c1, res.c2):
+            assert bool(jnp.isfinite(jnp.asarray(leaf)).all()), n
