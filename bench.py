@@ -60,7 +60,13 @@ def main() -> None:
 
     vw.enable_compilation_cache()
 
-    device = jax.devices()[0]
+    try:
+        device = jax.devices()[0]
+    except RuntimeError as exc:  # accelerator tunnel down: record honestly
+        print(f"bench: TPU backend unavailable ({str(exc)[:120]}); "
+              "falling back to CPU", file=sys.stderr, flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        device = jax.devices()[0]
     on_tpu = device.platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     if not on_tpu:
