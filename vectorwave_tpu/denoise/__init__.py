@@ -1,5 +1,6 @@
 from .denoiser import (
     denoise,
+    denoise_block,
     denoise_fixed,
     denoise_multilevel,
     threshold_coeffs,
@@ -9,6 +10,7 @@ from .dtcwt_shrink import dtcwt2_denoise, dtcwt_denoise
 
 __all__ = [
     "denoise",
+    "denoise_block",
     "denoise_fixed",
     "denoise_multilevel",
     "dtcwt_denoise",

@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.thresholds import apply_threshold, mad_sigma, select_threshold
+from ..ops.thresholds import (
+    apply_threshold,
+    block_shrink,
+    mad_sigma,
+    select_threshold,
+)
 from ..transforms.modwt import MODWTResult, imodwt, modwt
 from ..transforms.multilevel import (
     MultiLevelMODWTResult,
@@ -94,4 +99,34 @@ def denoise_multilevel(
     res = modwt_multilevel(x, wavelet, levels=levels, boundary=boundary)
     sigma = mad_sigma(res.details[0])  # finest scale estimates the noise floor
     denoised = threshold_coeffs(res, sigma, method=method, mode=mode)
+    return imodwt_multilevel(denoised, wavelet, boundary=boundary)
+
+
+def denoise_block(
+    x: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int | None = None,
+    boundary: str = "periodic",
+    block_size: int | None = None,
+) -> jnp.ndarray:
+    """Multi-level NeighBlock denoise (beyond the reference's rules).
+
+    Like :func:`denoise_multilevel` but each detail level is shrunk in
+    blocks with :func:`~vectorwave_tpu.ops.thresholds.block_shrink` — a
+    strong neighbour rescues weak coefficients inside a feature, which
+    typically gains ~1 dB over term-by-term universal soft thresholding on
+    signals with localized structure (doppler/bumps-type fixtures; see
+    ``tests/test_block_fdr.py``).  The per-level noise floor follows the
+    same ``sigma / sqrt(2^j)`` MODWT scaling as :func:`threshold_coeffs`.
+    """
+    res = modwt_multilevel(x, wavelet, levels=levels, boundary=boundary)
+    sigma = mad_sigma(res.details[0])
+    new_details = []
+    for level, detail in enumerate(res.details, start=1):
+        level_sigma = sigma / jnp.sqrt(2.0**level)
+        new_details.append(
+            block_shrink(detail, level_sigma, block_size=block_size)
+        )
+    denoised = MultiLevelMODWTResult(tuple(new_details), res.approx)
     return imodwt_multilevel(denoised, wavelet, boundary=boundary)
