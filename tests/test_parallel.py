@@ -323,3 +323,29 @@ def test_sharded_batch_analysis_modules():
         ).indices
     )
     np.testing.assert_array_equal(np.asarray(ridge(xs)), np.asarray(ridge(xb)))
+
+
+def test_sharded_batch_sparse_solvers():
+    """The FISTA sparse solvers run unchanged over a sharded batch axis —
+    the fori_loop carry keeps the input sharding, so parity with the
+    unsharded solve is exact (pure functions over arrays)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import vectorwave_tpu as vw
+
+    mesh = make_mesh({"data": 8})
+    rng = np.random.default_rng(51)
+    xb = jnp.asarray(rng.standard_normal((8, 512)), jnp.float32)
+    xs = jax.device_put(xb, NamedSharding(mesh, P("data", None)))
+
+    # f32 reduction-order differences across shardings compound over the
+    # FISTA iterations -> machine-precision (not bit-exact) parity contract
+    bp = jax.jit(lambda z: vw.bpdn(z, "db4", levels=3, steps=15).signal)
+    np.testing.assert_allclose(np.asarray(bp(xs)), np.asarray(bp(xb)), atol=1e-4)
+
+    mask = jnp.asarray(rng.random(512) > 0.3, jnp.float32)
+    inp = jax.jit(
+        lambda z: vw.inpaint(z * mask, mask, "db4", levels=3, steps=20)
+    )
+    np.testing.assert_allclose(np.asarray(inp(xs)), np.asarray(inp(xb)), atol=1e-4)
