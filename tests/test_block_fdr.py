@@ -102,3 +102,17 @@ def test_denoise_block_batched():
     assert den.shape == (2, 512)
     for i in range(2):
         assert _snr(clean[i], den[i]) > _snr(clean[i], np.asarray(noisy)[i]) + 4
+
+
+def test_fdr_exceeds_universal_for_nonsignificant_outlier():
+    """A lone coefficient above VisuShrink whose p-value still fails the BH
+    step-up must die: the FDR threshold is NOT capped at the universal
+    threshold (that cap would make the 'sparse -> kills aggressively'
+    behavior unreachable)."""
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(4096) * 0.999).astype(np.float32)
+    noise[0] = 4.2  # p = 2.7e-5 > q/n = 1.2e-5: not a discovery
+    t = np.asarray(fdr_threshold(jnp.asarray(noise), 1.0, q=0.05)).item()
+    uni = np.asarray(universal_threshold(4096, 1.0)).item()
+    assert t >= 4.2 - 1e-6
+    assert t > uni

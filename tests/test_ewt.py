@@ -88,3 +88,33 @@ def test_validation():
     with pytest.raises(VectorWaveError):
         # white-flat spectrum after heavy smoothing: too few peaks
         vw.ewt_boundaries(np.ones(64), 5)
+
+
+def test_ewt_hilbert_keeps_nyquist_even_length():
+    """scipy-convention analytic weights (DC and Nyquist = 1): the real part
+    of each analytic mode must reproduce the mode itself, including any
+    energy at the Nyquist bin of an even-length signal."""
+    t = np.arange(512)
+    x = jnp.asarray(
+        np.sin(2 * np.pi * 0.45 * t) + np.sin(2 * np.pi * 0.08 * t), jnp.float32
+    )
+    bounds = (0.25,)
+    comps = np.asarray(vw.ewt(x, bounds))
+    ana = vw.ewt_hilbert(x, bounds)
+    np.testing.assert_allclose(np.asarray(ana.real), comps, atol=1e-5)
+
+
+def test_ewt_boundaries_rank_by_prominence_not_height():
+    """AM sidebands riding a dominant carrier are taller than a genuine weak
+    second band; height ranking would spend both peak slots inside the
+    carrier cluster, prominence keeps the real band."""
+    rng = np.random.default_rng(0)
+    n = 4096
+    t = np.arange(n)
+    strong = (1 + 0.35 * np.cos(2 * np.pi * 0.004 * t)) * np.sin(
+        2 * np.pi * 0.10 * t
+    )
+    weak = 0.18 * np.sin(2 * np.pi * 0.35 * t)
+    sig = strong + weak + 0.01 * rng.standard_normal(n)
+    (bound,) = vw.ewt_boundaries(sig, 2, smooth=3)
+    assert 0.11 < bound < 0.34

@@ -156,3 +156,18 @@ def test_sparse_recover_rejects_bad_ndim():
             levels=1,
             ndim=3,
         )
+
+
+def test_inpaint_ignores_nan_at_missing_positions():
+    """NaN is a common missing-sample encoding; the docstring promises the
+    values at masked positions are ignored, so a NaN-encoded input must give
+    EXACTLY the solve of the zero-encoded input (and stay finite)."""
+    clean, _ = _sines(n=256)
+    rng = np.random.default_rng(7)
+    mask = (rng.random(256) > 0.4).astype(np.float32)
+    y_nan = jnp.asarray(np.where(mask > 0, clean, np.nan), jnp.float32)
+    y_zero = jnp.asarray(clean * mask, jnp.float32)
+    out_nan = np.asarray(vw.inpaint(y_nan, jnp.asarray(mask), "db8", steps=60))
+    out_zero = np.asarray(vw.inpaint(y_zero, jnp.asarray(mask), "db8", steps=60))
+    assert np.isfinite(out_nan).all()
+    np.testing.assert_array_equal(out_nan, out_zero)

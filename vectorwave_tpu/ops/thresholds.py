@@ -123,9 +123,11 @@ def fdr_threshold(coeffs: jnp.ndarray, sigma, q: float = 0.05) -> jnp.ndarray:
     two-sided p-values ``p_i = 2(1 - Phi(|c_i|/sigma))`` and picks the largest
     k with ``p_(k) <= q k / n`` — the threshold adapts to how many
     coefficients genuinely carry signal, keeping more of a dense signal than
-    VisuShrink and killing more of a sparse one.  Capped at the universal
-    threshold; if nothing is significant everything is killed (threshold =
-    ``max |c|``).  Vectorized per signal along the last axis.
+    VisuShrink and killing more of a sparse one — which means the threshold
+    may exceed the universal threshold (that's the point: a non-significant
+    outlier above VisuShrink still dies).  If nothing is significant
+    everything is killed (threshold = ``max |c|``).  Vectorized per signal
+    along the last axis.
     """
     n = coeffs.shape[-1]
     sigma = jnp.asarray(sigma)
@@ -139,8 +141,7 @@ def fdr_threshold(coeffs: jnp.ndarray, sigma, q: float = 0.05) -> jnp.ndarray:
     last = n - 1 - jnp.argmax(ok[..., ::-1], axis=-1, keepdims=True)
     t_found = jnp.take_along_axis(s, last, axis=-1)
     t_none = s[..., :1]  # kill everything
-    t = jnp.where(found, t_found, t_none)
-    return jnp.minimum(t, universal_threshold(n, sigma))
+    return jnp.where(found, t_found, t_none)
 
 
 def block_shrink(

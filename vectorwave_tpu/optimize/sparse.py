@@ -255,13 +255,23 @@ def inpaint(
     coefficient — everything suppressed) down to ``lam`` (default: 1e-3 of
     it), which steers the iterates from coarse structure to fine detail.
     With ``enforce_data`` the observed samples are copied back verbatim.
+
+    Fill quality tracks how sparsely the wavelet represents the signal:
+    for smooth data prefer HIGH vanishing moments (db8/sym8 restore 40%
+    missing smooth signals to ~5% rel RMSE where db4 — only 4 vanishing
+    moments — fails to interpolate the gaps at all; measured in
+    ``tests/test_sparse.py`` / the λ-sweep notes).
     """
     w = _resolve_discrete(wavelet)
     mask = jnp.asarray(mask, y.dtype)
+    # Values at missing positions really are ignored: zero them so NaN
+    # placeholders (a common missing-data encoding) cannot poison the solve.
+    y = jnp.where(mask > 0, y, 0)
     if levels is None:
         levels = max_levels(y.shape[-1], w)
-    c0 = modwt_multilevel(y * mask, w, levels=1, boundary=boundary)
-    lam, lam_init = _default_inpaint_lams(c0, lam, lam_init)
+    if lam is None or lam_init is None:
+        probe = modwt_multilevel(y, w, levels=1, boundary=boundary)
+        lam, lam_init = _default_inpaint_lams(probe, lam, lam_init)
     out = _solve(
         y, mask, w, levels, boundary, lam, lam_init, steps, 1, False
     ).signal
@@ -284,8 +294,10 @@ def inpaint2(
     (:func:`~vectorwave_tpu.modwt2_multilevel`).  ``mask`` is per-pixel."""
     w = _resolve_discrete(wavelet)
     mask = jnp.asarray(mask, img.dtype)
-    c0 = modwt2_multilevel(img * mask, w, levels=1, boundary=boundary)
-    lam, lam_init = _default_inpaint_lams(c0, lam, lam_init)
+    img = jnp.where(mask > 0, img, 0)  # NaN-safe, as in :func:`inpaint`
+    if lam is None or lam_init is None:
+        probe = modwt2_multilevel(img, w, levels=1, boundary=boundary)
+        lam, lam_init = _default_inpaint_lams(probe, lam, lam_init)
     out = _solve(
         img, mask, w, levels, boundary, lam, lam_init, steps, 2, False
     ).signal
@@ -314,8 +326,10 @@ def sparse_recover(
     ``min_c 0.5 ||forward(S(c)) - m||² + λ_i Σ|c_detail|``.
 
     ``step_size`` must satisfy ``step <= 1 / ||forward∘S||²``; the default
-    estimates ``||forward||²`` by 16 host-side power iterations on a fixed
-    probe (S has unit norm, so ``||forward∘S|| <= ||forward||``).
+    estimates ``||forward||²`` by 16 power iterations on a fixed probe with
+    a 10% back-off (S has unit norm, so ``||forward∘S|| <= ||forward||``).
+    The automatic estimate assumes a LINEAR ``forward`` (the vjp is taken
+    at one point); pass an explicit ``step_size`` for nonlinear maps.
 
     Unlike the fixed-operator solvers above, each call re-traces (the
     ``forward`` closure is part of the program); jit an enclosing function
@@ -340,10 +354,12 @@ def sparse_recover(
             )
 
         v = jax.lax.fori_loop(0, 16, power_body, probe)
-        sq_norm = jnp.vdot(forward(v).ravel(), forward(v).ravel()) / jnp.vdot(
-            v.ravel(), v.ravel()
-        )
-        step_size = float(1.0 / jnp.maximum(sq_norm, 1e-12))
+        fv = forward(v).ravel()
+        sq_norm = jnp.vdot(fv, fv) / jnp.vdot(v.ravel(), v.ravel())
+        # The Rayleigh quotient LOWER-bounds ||forward||^2; back off 10% so
+        # a slowly-converging power iteration cannot push the step past the
+        # 1/L stability bound.
+        step_size = float(0.9 / jnp.maximum(sq_norm, 1e-12))
 
     def data_loss(c):
         r = forward(synthesis(c)) - measurements

@@ -60,7 +60,6 @@ def ewt_boundaries(
     if smooth > 1:
         kernel = np.hanning(smooth + 2)[1:-1]
         spec = np.convolve(spec, kernel / kernel.sum(), mode="same")
-    # local maxima with prominence = height above the higher surrounding min
     peaks = [
         k
         for k in range(1, len(spec) - 1)
@@ -73,7 +72,24 @@ def ewt_boundaries(
             f"{n_bands} bands",
             suggestions=("Reduce n_bands or smooth less",),
         )
-    top = sorted(sorted(peaks, key=lambda k: -spec[k])[:n_bands])
+
+    def _prominence(k: int) -> float:
+        # scipy-style: walk each way to the nearest strictly-higher sample
+        # (or the edge), tracking the minimum; prominence = height above the
+        # HIGHER of the two bases.  Ranking by raw height instead would let
+        # ripples riding one dominant hump crowd out genuine weaker bands.
+        h = spec[k]
+        left_min, j = h, k - 1
+        while j >= 0 and spec[j] < h:
+            left_min = min(left_min, spec[j])
+            j -= 1
+        right_min, j = h, k + 1
+        while j < len(spec) and spec[j] < h:
+            right_min = min(right_min, spec[j])
+            j += 1
+        return float(h - max(left_min, right_min))
+
+    top = sorted(sorted(peaks, key=lambda k: -_prominence(k))[:n_bands])
     freqs = np.fft.rfftfreq(n)
     bounds = []
     for left, right in zip(top[:-1], top[1:]):
@@ -180,7 +196,15 @@ def ewt_hilbert(x: jnp.ndarray, boundaries: tuple[float, ...]) -> jnp.ndarray:
     comps = ewt(x, boundaries)
     n = comps.shape[-1]
     spec = jnp.fft.fft(comps, axis=-1)
-    freqs = np.fft.fftfreq(n)
-    mult = np.where(freqs > 0, 2.0, np.where(freqs == 0, 1.0, 0.0))
+    # scipy.signal.hilbert weights: DC and (even-n) Nyquist stay at 1 —
+    # np.fft.fftfreq reports Nyquist as -0.5, so a freqs>0 test would
+    # wrongly zero it and bias near-Nyquist modes.
+    mult = np.zeros(n)
+    mult[0] = 1.0
+    if n % 2 == 0:
+        mult[n // 2] = 1.0
+        mult[1 : n // 2] = 2.0
+    else:
+        mult[1 : (n + 1) // 2] = 2.0
     analytic = jnp.fft.ifft(spec * jnp.asarray(mult, spec.dtype), axis=-1)
     return analytic

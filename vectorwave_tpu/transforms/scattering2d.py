@@ -9,8 +9,9 @@ oriented Morlet responses, modulus, and a ``2^J`` Gaussian average,
     S2(p1,p2) = ||x * psi_{p1}| * psi_{p2}| * phi_J,   j2 > j1
 
 The filterbank reuses the 2-D Morlet spectrum of :mod:`.cwt2` (generated
-on device, anisotropy sharpens orientation selectivity); every order is one
-batched ``fft2`` product over a stacked path axis.
+on device; the anisotropy knob trades angular sharpness against gap-free
+coverage of ``[0, pi)`` — see ``scattering2d``'s ``aniso`` doc); every
+order is one batched ``fft2`` product over a stacked path axis.
 """
 
 from __future__ import annotations
@@ -51,8 +52,14 @@ class Scattering2DResult(NamedTuple):
             feats.append(jnp.log(jnp.mean(self.s2, axis=(-2, -1)) + eps))
         return jnp.concatenate(feats, axis=-1)
 
-    def angle_energy(self, scale: int, n_angles: int) -> jnp.ndarray:
-        """[..., L] first-order energy per angle at dyadic ``scale``."""
+    def angle_energy(self, scale: int, n_angles: int | None = None) -> jnp.ndarray:
+        """[..., L] first-order energy per angle at dyadic ``scale``.
+
+        ``n_angles`` defaults to the transform's own ``L`` (recovered from
+        ``meta1``), so it cannot silently drift from the forward call.
+        """
+        if n_angles is None:
+            n_angles = max(angle for _, angle in self.meta1) + 1
         sel = self.s1[..., scale * n_angles : (scale + 1) * n_angles, :, :]
         return jnp.sum(sel**2, axis=(-2, -1))
 
@@ -73,7 +80,11 @@ def scattering2d(
       L: orientations per scale over ``[0, pi)``.
       order: 1 or 2.
       stride: output subsampling, default ``2^J``.
-      aniso: Morlet anisotropy (<1 elongates, sharper orientations).
+      aniso: Morlet anisotropy — multiplies the cross-carrier frequency in
+        the envelope (``morlet2``), so ``> 1`` narrows the angular response
+        (sharper orientation selectivity).  The default 0.5 *widens* each
+        wedge so ``L`` orientations cover ``[0, pi)`` without
+        Littlewood–Paley gaps between angles.
     """
     if image.ndim < 2:
         raise InvalidSignalError(
