@@ -159,3 +159,35 @@ def test_jit_and_batch(rng):
         return iwpt2(tree, "db2")
 
     np.testing.assert_allclose(np.asarray(roundtrip(x)), np.asarray(x), atol=1e-10)
+
+
+def test_denoise_packet2_beats_noise(rng):
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    clean = np.sin(2 * np.pi * (21 * xx + 5 * yy) / w)  # high-freq texture
+    noisy = clean + 0.4 * rng.standard_normal((h, w))
+    den = np.asarray(vw.denoise_packet2(jnp.asarray(noisy), "sym8", 3))
+    mse_in = float(np.mean((noisy - clean) ** 2))
+    mse_out = float(np.mean((den - clean) ** 2))
+    assert mse_out < 0.6 * mse_in
+
+
+def test_denoise_packet2_beats_pyramid_on_texture(rng):
+    """High-frequency weave: the quadtree isolates the texture band, the
+    LL-spine pyramid (denoise2) dumps it into one noisy detail level."""
+    h = w = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    clean = np.sin(2 * np.pi * (27 * xx + 23 * yy) / w)
+    noisy = jnp.asarray(clean + 0.5 * rng.standard_normal((h, w)))
+    mse = lambda est: float(np.mean((np.asarray(est) - clean) ** 2))
+    packet = mse(vw.denoise_packet2(noisy, "sym8", 3))
+    pyramid = mse(vw.denoise2(noisy, "sym8", levels=3))
+    assert packet < pyramid
+
+
+def test_denoise_packet2_noiseless_near_identity(rng):
+    yy, xx = np.mgrid[0:64, 0:64]
+    clean = jnp.asarray(np.sin(2 * np.pi * yy / 16) * np.cos(2 * np.pi * xx / 8))
+    den = vw.denoise_packet2(clean, "db4", 2)
+    rel = float(jnp.linalg.norm(den - clean) / jnp.linalg.norm(clean))
+    assert rel < 0.15

@@ -5,7 +5,7 @@ from .denoiser import (
     denoise_multilevel,
     threshold_coeffs,
 )
-from .packet import denoise_packet
+from .packet import denoise_packet, denoise_packet2
 from .dtcwt_shrink import dtcwt2_denoise, dtcwt_denoise
 
 __all__ = [
@@ -16,5 +16,6 @@ __all__ = [
     "dtcwt_denoise",
     "dtcwt2_denoise",
     "denoise_packet",
+    "denoise_packet2",
     "threshold_coeffs",
 ]

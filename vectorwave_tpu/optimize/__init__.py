@@ -1,5 +1,6 @@
-"""Iterative wavelet-domain optimization (sparse inverse problems)."""
+"""Iterative wavelet-domain optimization (sparse inverse problems, deconvolution)."""
 
+from .deconvolve import DeconvolutionResult, deconvolve
 from .sparse import (
     SparseRecovery,
     bpdn,
@@ -10,6 +11,8 @@ from .sparse import (
 )
 
 __all__ = [
+    "DeconvolutionResult",
+    "deconvolve",
     "SparseRecovery",
     "bpdn",
     "fista",

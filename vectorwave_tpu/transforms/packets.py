@@ -310,13 +310,18 @@ def _cost_table(
             node_cost = jnp.log(p + _EPS).sum(axis=-1)
         elif cost == "threshold":
             node_cost = (jnp.abs(lvl) > threshold).sum(axis=-1).astype(jnp.float32)
+        elif cost == "risk":
+            # Donoho-Johnstone oracle-risk proxy for thresholded estimation:
+            # sum min(c^2, t^2) — rewards CONCENTRATING signal above t (each
+            # big coefficient costs only t^2) instead of hiding it below.
+            node_cost = jnp.minimum(lvl**2, threshold**2).sum(axis=-1)
         elif cost == "l1":
             node_cost = jnp.abs(lvl).sum(axis=-1)
         else:
             raise InvalidArgumentError(
                 ErrorCode.CFG_INVALID_CONFIG,
                 f"unknown cost {cost!r}",
-                suggestions=("Use shannon, log_energy, threshold, l1, "
+                suggestions=("Use shannon, log_energy, threshold, risk, l1, "
                              "or a callable node -> scalar"),
             )
         tables.append(np.asarray(node_cost.sum(axis=tuple(range(node_cost.ndim - 1)))))

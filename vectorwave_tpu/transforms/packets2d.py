@@ -206,6 +206,8 @@ def _cost_table2(
             node_cost = (
                 (jnp.abs(lvl) > threshold).sum(axis=(-1, -2)).astype(jnp.float32)
             )
+        elif cost == "risk":
+            node_cost = jnp.minimum(lvl**2, threshold**2).sum(axis=(-1, -2))
         elif cost == "l1":
             node_cost = jnp.abs(lvl).sum(axis=(-1, -2))
         else:
@@ -213,7 +215,7 @@ def _cost_table2(
                 ErrorCode.CFG_INVALID_CONFIG,
                 f"unknown cost {cost!r}",
                 suggestions=(
-                    "Use shannon, log_energy, threshold, l1, "
+                    "Use shannon, log_energy, threshold, risk, l1, "
                     "or a callable plane -> scalar",
                 ),
             )
