@@ -117,3 +117,68 @@ def test_kernel_validation():
         vw.deconvolve(y, np.ones((3, 3)))  # not 1-D
     with pytest.raises(vw.InvalidArgumentError):
         vw.deconvolve(y, np.ones(256))  # longer than signal
+
+
+def _gaussian_psf(width: float, taps: int) -> np.ndarray:
+    t = np.arange(taps) - taps // 2
+    g = np.exp(-0.5 * (t / width) ** 2)
+    psf = np.outer(g, g)
+    return psf / psf.sum()
+
+
+def _blur2(img: np.ndarray, psf: np.ndarray):
+    """Circularly blur with a centered psf; returns (blurred, peak-at-origin psf)."""
+    h, w = img.shape
+    pad = np.zeros((h, w))
+    ph, pw = psf.shape
+    pad[:ph, :pw] = psf
+    pad = np.roll(pad, (-(ph // 2), -(pw // 2)), axis=(0, 1))
+    return np.fft.ifft2(np.fft.fft2(img) * np.fft.fft2(pad)).real, pad
+
+
+def _test_image(h: int = 64, w: int = 64) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.sin(2 * np.pi * yy / 16) + 0.7 * np.cos(2 * np.pi * xx / 10)
+    img[h // 2 :, :] += 1.2  # edge
+    return img
+
+
+def test_deconvolve2_beats_blurred_input(rng):
+    clean = _test_image()
+    psf = _gaussian_psf(1.8, 11)
+    blurred, psf0 = _blur2(clean, psf)
+    sigma = 0.05
+    noisy = blurred + sigma * rng.standard_normal(clean.shape)
+
+    res = vw.deconvolve2(jnp.asarray(noisy), psf0, "sym4", levels=3)
+    err_in = float(np.sqrt(np.mean((noisy - clean) ** 2)))
+    err_out = float(np.sqrt(np.mean((np.asarray(res.signal) - clean) ** 2)))
+    assert err_out < 0.5 * err_in
+    assert len(res.level_sigmas) == 3
+    assert all(len(t) == 3 for t in res.level_sigmas)  # (lh, hl, hh)
+
+
+def test_deconvolve2_batched_jit(rng):
+    clean = _test_image(32, 32)
+    psf = _gaussian_psf(1.2, 7)
+    blurred, psf0 = _blur2(clean, psf)
+    noisy = np.stack([blurred, blurred]) + 0.03 * rng.standard_normal((2, 32, 32))
+    fn = jax.jit(lambda img: vw.deconvolve2(img, psf0, "db4", levels=2).signal)
+    out = np.asarray(fn(jnp.asarray(noisy)))
+    assert out.shape == (2, 32, 32)
+    for i in range(2):
+        err_in = np.sqrt(np.mean((noisy[i] - clean) ** 2))
+        err_out = np.sqrt(np.mean((out[i] - clean) ** 2))
+        assert err_out < err_in
+
+
+def test_deconvolve2_kernel_validation():
+    y = jnp.zeros((32, 32))
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.deconvolve2(y, np.zeros((3, 3)))  # all-zero psf
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.deconvolve2(y, np.ones(5))  # 1-D psf
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.deconvolve2(y, np.ones((64, 64)))  # larger than image
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.deconvolve2(jnp.zeros(32), np.ones((3, 3)))  # 1-D input

@@ -1,6 +1,6 @@
 """Iterative wavelet-domain optimization (sparse inverse problems, deconvolution)."""
 
-from .deconvolve import DeconvolutionResult, deconvolve
+from .deconvolve import DeconvolutionResult, deconvolve, deconvolve2
 from .sparse import (
     SparseRecovery,
     bpdn,
@@ -13,6 +13,7 @@ from .sparse import (
 __all__ = [
     "DeconvolutionResult",
     "deconvolve",
+    "deconvolve2",
     "SparseRecovery",
     "bpdn",
     "fista",

@@ -47,7 +47,7 @@ from ..transforms.multilevel import (
 )
 from ..transforms.modwt import _resolve_discrete
 
-__all__ = ["DeconvolutionResult", "deconvolve"]
+__all__ = ["DeconvolutionResult", "deconvolve", "deconvolve2"]
 
 
 class DeconvolutionResult(NamedTuple):
@@ -75,17 +75,26 @@ def _level_responses(n: int, w, levels: int) -> list[np.ndarray]:
     per-stage 1/sqrt(2) scaling.  Exactness vs a unit-impulse transform is
     oracle-tested in ``tests/test_deconvolve.py``.
     """
+    return _axis_responses(n, w, levels)[0]
+
+
+def _axis_responses(
+    n: int, w, levels: int
+) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """(detail |G_j|^2, lowpass-cascade |L_j|^2) per level, finest first."""
     inv_sqrt2 = 1.0 / np.sqrt(2.0)
     lo = np.fft.fft(np.asarray(w.dec_lo) * inv_sqrt2, n=n)
     hi = np.fft.fft(np.asarray(w.dec_hi) * inv_sqrt2, n=n)
     freqs = np.arange(n)
-    responses = []
+    details = []
+    lowpass = []
     prod = np.ones(n, dtype=complex)
     for j in range(1, levels + 1):
         dilated = (freqs * (1 << (j - 1))) % n
-        responses.append(np.abs(hi[dilated] * prod) ** 2)
+        details.append(np.abs(hi[dilated] * prod) ** 2)
         prod = prod * lo[dilated]
-    return responses
+        lowpass.append(np.abs(prod) ** 2)
+    return details, lowpass
 
 
 def deconvolve(
@@ -173,5 +182,123 @@ def deconvolve(
         new_details.append(apply_threshold(detail, thr, mode))
     est = imodwt_multilevel(
         MultiLevelMODWTResult(tuple(new_details), tree.approx), w
+    )
+    return DeconvolutionResult(est, wiener, sigma, tuple(level_sigmas))
+
+
+def deconvolve2(
+    y: jnp.ndarray,
+    kernel,
+    wavelet="sym8",
+    *,
+    levels: int | None = None,
+    sigma=None,
+    method: str = "universal",
+    mode: str = "hard",
+    psd_threshold: float | None = None,
+) -> DeconvolutionResult:
+    """ForWaRD image deblurring: ``y = kernel (*) x + noise`` (2-D circular).
+
+    Same two-step estimator as :func:`deconvolve` over the last two axes:
+    thresholded-periodogram Wiener inverse (``N = H*W`` bins), then
+    hard-thresholding of every separable MODWT2 subband with its exact
+    colored-noise std — the level-``j`` band responses are outer products
+    of the 1-D dilation-product responses (``lh_j = L_j(kh) G_j(kw)``,
+    ``hl_j = G_j(kh) L_j(kw)``, ``hh_j = G_j(kh) G_j(kw)``).  ``kernel`` is
+    a 2-D PSF with its peak at index (0, 0) (``numpy.fft.ifftshift`` a
+    centered PSF); ``level_sigmas`` in the result holds per-level
+    ``(lh, hl, hh)`` std triples.  Broadcasts over leading batch axes.
+    """
+    from ..transforms.twodim import (
+        MultiLevelMODWT2Result,
+        imodwt2_multilevel,
+        modwt2_multilevel,
+    )
+
+    w = _resolve_discrete(wavelet)
+    if y.ndim < 2:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"deconvolve2 needs [..., H, W] input, got shape {tuple(y.shape)}",
+        )
+    h_dim, w_dim = y.shape[-2], y.shape[-1]
+    kernel_np = np.asarray(kernel, dtype=np.float64)
+    if (
+        kernel_np.ndim != 2
+        or kernel_np.size == 0
+        or kernel_np.shape[0] > h_dim
+        or kernel_np.shape[1] > w_dim
+    ):
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_SHAPE,
+            f"kernel must be 2-D, at most {h_dim}x{w_dim}, got {kernel_np.shape}",
+        )
+    if not np.isfinite(kernel_np).all() or not np.abs(kernel_np).sum() > 0.0:
+        raise InvalidArgumentError(
+            ErrorCode.VAL_NON_FINITE_VALUES, "kernel must be finite and nonzero"
+        )
+    if levels is None:
+        levels = min(3, max_levels(min(h_dim, w_dim), w))
+
+    real_dtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else jnp.float64
+    y = y.astype(real_dtype)
+    kernel_pad = np.zeros((h_dim, w_dim))
+    kernel_pad[: kernel_np.shape[0], : kernel_np.shape[1]] = kernel_np
+    h_full = jnp.asarray(np.fft.fft2(kernel_pad))
+
+    if sigma is None:
+        finest_hh = modwt2_multilevel(y, w, levels=1).details[0][2]
+        flat = finest_hh.reshape(finest_hh.shape[:-2] + (-1,))
+        sigma = mad_sigma(flat) * 2.0  # undo the two 1/sqrt(2) stages
+        sigma = sigma[..., None]  # [..., 1, 1] for 2-D broadcasting
+    else:
+        sigma = jnp.asarray(sigma, dtype=real_dtype)
+        while sigma.ndim < 2 or sigma.shape[-1] != 1 or sigma.shape[-2] != 1:
+            sigma = sigma[..., None]
+
+    n_total = h_dim * w_dim
+    if psd_threshold is None:
+        psd_threshold = np.log(n_total) + 2.0
+    yf = jnp.fft.fft2(y)
+    noise_power = (sigma**2) * n_total
+    h_pow = jnp.abs(h_full) ** 2
+    y_pow = jnp.abs(yf) ** 2
+    sig_power = jnp.where(
+        y_pow > psd_threshold * noise_power,
+        jnp.maximum(y_pow - noise_power, 0.0) / jnp.maximum(h_pow, 1e-12),
+        0.0,
+    )
+    phi = jnp.conj(h_full) * sig_power / (h_pow * sig_power + noise_power + 1e-30)
+    wiener = jnp.fft.ifft2(phi * yf).real.astype(real_dtype)
+
+    phi_pow = jnp.abs(phi) ** 2  # [..., H, W]
+    g_h, l_h = _axis_responses(h_dim, w, levels)
+    g_w, l_w = _axis_responses(w_dim, w, levels)
+    sigma_flat = sigma[..., 0, 0][..., None, None]
+
+    def _band_sigma(row_pow: np.ndarray, col_pow: np.ndarray) -> jnp.ndarray:
+        band = jnp.asarray(np.outer(row_pow, col_pow))
+        return sigma_flat * jnp.sqrt(
+            jnp.mean(band * phi_pow, axis=(-1, -2), keepdims=True)
+        )
+
+    tree = modwt2_multilevel(wiener, w, levels=levels)
+    new_details = []
+    level_sigmas = []
+    for j, (lh, hl, hh) in enumerate(tree.details):
+        triple_sigmas = (
+            _band_sigma(l_h[j], g_w[j]),   # lh: low-H, high-W
+            _band_sigma(g_h[j], l_w[j]),   # hl
+            _band_sigma(g_h[j], g_w[j]),   # hh
+        )
+        bands = []
+        for plane, band_sigma in zip((lh, hl, hh), triple_sigmas):
+            vec = plane.reshape(plane.shape[:-2] + (-1,))
+            thr = select_threshold(vec, band_sigma[..., 0, :], method)
+            bands.append(apply_threshold(vec, thr, mode).reshape(plane.shape))
+        new_details.append(tuple(bands))
+        level_sigmas.append(triple_sigmas)
+    est = imodwt2_multilevel(
+        MultiLevelMODWT2Result(tuple(new_details), tree.approx), w
     )
     return DeconvolutionResult(est, wiener, sigma, tuple(level_sigmas))
