@@ -1,5 +1,6 @@
-"""Iterative wavelet-domain optimization (sparse inverse problems, deconvolution)."""
+"""Iterative wavelet-domain optimization (sparse inverse problems, deconvolution, matching pursuit)."""
 
+from .mp import MPResult, matching_pursuit
 from .deconvolve import DeconvolutionResult, deconvolve, deconvolve2
 from .sparse import (
     SparseRecovery,
@@ -11,6 +12,8 @@ from .sparse import (
 )
 
 __all__ = [
+    "MPResult",
+    "matching_pursuit",
     "DeconvolutionResult",
     "deconvolve",
     "deconvolve2",
