@@ -126,6 +126,25 @@ def main() -> None:
         extras["pct_roofline_default"] = round(100 * rates["bf16_3x"] / roofline, 1)
         extras["pct_roofline_fast"] = round(100 * rates["bf16"] / roofline, 1)
 
+        # MXU-utilization context: the default (3-pass bf16_3x) round trip is
+        # COMPUTE-bound, so its ceiling is MXU peak, not the HBM roofline —
+        # reaching 90% of the memory roofline at 3 passes would need
+        # ~229 TFLOPS, above the chip's bf16 peak.  The 1-pass bf16 mode
+        # (same HBM bytes, 1/3 the dots) is the memory-bound point and
+        # exceeds the measured-roofline probe.
+        from vectorwave_tpu.kernels.modwt_mxu import composite_macs_per_sample
+
+        w = vw.wavelet(WAVELET)
+        macs = composite_macs_per_sample((w.dec_lo, w.dec_hi), LEVELS)
+        rt_macs = macs["analysis"] + macs["synthesis"]
+        eff_tflops = rates["bf16_3x"] * 1e6 * rt_macs * 2 * 3 / 1e12
+        extras["mxu_macs_per_sample_roundtrip"] = rt_macs
+        extras["mxu_eff_tflops_default"] = round(eff_tflops, 1)
+        V5E_BF16_PEAK_TFLOPS = 197.0
+        extras["pct_mxu_peak_default"] = round(
+            100 * eff_tflops / V5E_BF16_PEAK_TFLOPS, 1
+        )
+
     if on_tpu:
         # f64 bit-parity evidence (BASELINE.json's <=1e-10 gate): the jnp
         # path in float64 on the host CPU backend (TPUs have no f64 units)

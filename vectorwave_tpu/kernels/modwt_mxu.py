@@ -554,6 +554,27 @@ def composite_plane_filters(
     return comps
 
 
+def composite_macs_per_sample(
+    filters: tuple, levels: int
+) -> dict[str, int]:
+    """Exact MXU MACs per input sample for the composite kernels.
+
+    Each band block is one [128, 128] matmul serving 128 output samples, so a
+    direction with B total band blocks costs ``B * 128`` MACs/sample.  Used by
+    bench.py to report MXU utilization: at the default 3-pass ``bf16_3x``
+    precision the round trip is COMPUTE-bound on the MXU (the dot count, not
+    HBM traffic, sets the throughput ceiling), which is why the single-pass
+    ``bf16`` mode — same bytes, one third the dots — reaches the memory
+    roofline while the default cannot.
+    """
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    planes = composite_plane_filters(low, high, levels)
+    ana = sum(len(_band_single(p, -1)) for p in planes)
+    syn = sum(len(_band_single(p, +1)) for p in planes)
+    return {"analysis": ana * _LANES, "synthesis": syn * _LANES}
+
+
 def _band_single(filt: np.ndarray, sign: int) -> dict[int, np.ndarray]:
     """{e: M_e[128, 128]} for out_rows[r] = sum_e X[r+e] @ M_e of
     ``out[p] = sum_tau f[tau] x[p + sign*tau]``."""
