@@ -212,3 +212,21 @@ def test_fused_precision_config_default():
         vw.set_fused_precision("bf16_3x")
     with pytest.raises(vw.InvalidConfigurationError):
         vw.set_fused_precision("fp8")
+
+
+def test_composite_macs_per_sample():
+    """The cost model PERF.md cites: db4 x 6 levels costs exactly 21 analysis
+    + 21 synthesis [128,128] band blocks per 128 samples (5,376 MACs/sample
+    round trip), and every MAC count is a positive multiple of 128."""
+    from vectorwave_tpu.kernels.modwt_mxu import composite_macs_per_sample
+
+    w = vw.wavelet("db4")
+    macs = composite_macs_per_sample((w.dec_lo, w.dec_hi), 6)
+    assert macs == {"analysis": 21 * 128, "synthesis": 21 * 128}
+    haar = vw.wavelet("haar")
+    m1 = composite_macs_per_sample((haar.dec_lo, haar.dec_hi), 1)
+    # single level haar: d1 and a1 each span 2 taps -> 2 blocks per plane
+    # direction at most; counts are structural, just pin monotonicity
+    m6 = composite_macs_per_sample((haar.dec_lo, haar.dec_hi), 6)
+    assert m1["analysis"] < m6["analysis"]
+    assert all(v % 128 == 0 and v > 0 for v in {**m1, **m6}.values())
