@@ -229,4 +229,5 @@ def test_composite_macs_per_sample():
     # direction at most; counts are structural, just pin monotonicity
     m6 = composite_macs_per_sample((haar.dec_lo, haar.dec_hi), 6)
     assert m1["analysis"] < m6["analysis"]
-    assert all(v % 128 == 0 and v > 0 for v in {**m1, **m6}.values())
+    for m in (m1, m6):
+        assert all(v % 128 == 0 and v > 0 for v in m.values())

@@ -102,6 +102,52 @@ def _shift_rows(flat, shift: int):
     return pltpu.roll(flat, shift, 0)
 
 
+def _split_bf16(a):
+    """Error-free f32 -> (hi, lo) bf16 split: hi + lo reproduces the top
+    ~16 mantissa bits; products of bf16 pairs are exact in f32."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _const_terms(m: np.ndarray, precision: str) -> list[jnp.ndarray]:
+    """Band-matrix constants in the form the kernel dots consume: a
+    trace-time (hi, lo) bf16 pair for bf16_3x (hoisting the constant split
+    out of every grid step), else one f32 array."""
+    m32 = jnp.asarray(m, dtype=jnp.float32)
+    if precision == "bf16_3x":
+        return list(_split_bf16(m32))
+    return [m32]
+
+
+def _dot_prepped(a, m_refs, precision: str):
+    """Dot of an f32 operand against prepped constants (list of refs).
+
+    The ``a`` split happens here, after the sublane shift — Mosaic has no
+    sub-32-bit rotate, so views must shift in f32 and split per group.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    kw = {"preferred_element_type": jnp.float32}
+    if precision == "float32":
+        return jax.lax.dot_general(
+            a, m_refs[0][:], dims, precision=jax.lax.Precision.HIGHEST, **kw
+        )
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            a, m_refs[0][:], dims, precision=jax.lax.Precision.DEFAULT, **kw
+        )
+    if precision == "bf16_3x":
+        a_hi, a_lo = _split_bf16(a)
+        m_hi = m_refs[0][:]
+        m_lo = m_refs[1][:]
+        return (
+            jax.lax.dot_general(a_hi, m_hi, dims, **kw)
+            + jax.lax.dot_general(a_hi, m_lo, dims, **kw)
+            + jax.lax.dot_general(a_lo, m_hi, dims, **kw)
+        )
+    raise ValueError(f"unknown precision {precision!r}; use one of {PRECISIONS}")
+
+
 def _dot(a, m, precision: str):
     dims = (((1,), (0,)), ((), ()))
     if precision == "float32":
@@ -136,9 +182,14 @@ _FORCE_TILE_ROWS: int | None = None
 
 
 def _auto_tiles(b: int, levels: int, halo_rows: int, n_rows: int,
-                requested_rows: int, itemsize: int = 4) -> tuple[int, int]:
+                requested_rows: int, itemsize: int = 4,
+                scratch_windows: int = 2) -> tuple[int, int]:
     """(batch_tile, row_tile): fit the VMEM budget by shrinking the batch
     tile first (then the row tile), keeping tiles 8-row aligned.
+
+    ``scratch_windows``: input scratch slots held live at once — 2 for the
+    double-buffered analysis (one window in compute, one in flight), and
+    ``2 * (levels + 2)`` for synthesis (two slots of levels+1 planes each).
 
     When the TOTAL output of the call is small (< ~14 MB), XLA may place the
     result buffers themselves in VMEM (observed: S(1) layouts on the
@@ -153,9 +204,12 @@ def _auto_tiles(b: int, levels: int, halo_rows: int, n_rows: int,
     tile_rows = max(8, min(_round_up(requested_rows, 8), _round_up(n_rows, 8)))
     tile_rows = max(tile_rows, _round_up(halo_rows, 8))
     min_rows = max(8, _round_up(halo_rows, 8))
+    # live VMEM per batch row: scratch slots + compute temporaries (J+1
+    # accumulator planes and ~5 shifted views/partials) + output blocks
+    work_units = scratch_windows + (levels + 1) + 5 + (levels + 1)
 
     def per_batch(tr):
-        return (tr + halo_rows) * _LANES * (2 * (levels + 1) + 6) * itemsize
+        return (tr + halo_rows) * _LANES * work_units * itemsize
 
     while per_batch(tile_rows) > budget and tile_rows // 2 >= min_rows:
         tile_rows //= 2
@@ -596,11 +650,12 @@ def _band_single(filt: np.ndarray, sign: int) -> dict[int, np.ndarray]:
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "periodic", "inline_halo",
+        "interpret", "edge", "inline_halo",
     ),
 )
 def _composite_analysis_call(
     x: jnp.ndarray,  # [B, R, 128]; halo prepended unless inline_halo
+    halo: jnp.ndarray | None = None,  # [B, halo_rows, 128] when edge="external"
     *,
     levels: int,
     filters: tuple[tuple[float, ...], tuple[float, ...]],
@@ -609,16 +664,23 @@ def _composite_analysis_call(
     halo_rows: int,
     precision: str,
     interpret: bool,
-    periodic: bool = True,
+    edge: str = "wrap",
     inline_halo: bool = False,
 ):
-    """Composite analysis kernel.
+    """Composite analysis kernel (double-buffered DMA pipeline).
 
     ``inline_halo=True`` (N a tile multiple): ``x`` carries NO halo; edge
-    tiles fetch the periodic wrap (or zero-fill) inside the kernel, so the
-    wrapper never materializes an extended copy of the input — the extend
+    tiles fetch the left boundary inside the kernel — ``edge`` picks the
+    periodic wrap ("wrap"), a zero fill ("zero") or a caller-provided halo
+    slab ("external": the distributed tier's ppermute output) — so the
+    wrapper never materializes an extended copy of the input (the extend
     path measured as ~2.4 ms of pure XLA copies per roundtrip at the bench
-    shape, over half the end-to-end time.
+    shape, over half the end-to-end time).
+
+    Pipelining: the input window for grid step t+1 is DMA'd into the other
+    scratch slot while step t's dot chain runs, so the HBM fetch overlaps
+    MXU compute (the output write-back is pipelined by Pallas' revolving
+    output buffers already).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -638,72 +700,102 @@ def _composite_analysis_call(
     b, r_total, _ = x.shape
     r_out = r_total if inline_halo else r_total - halo_rows
     window_rows = tile_rows + halo_rows
-    grid = (b // b_tile, r_out // tile_rows)
+    num_t = r_out // tile_rows
+    grid = (b // b_tile, num_t)
+    total_steps = (b // b_tile) * num_t
     dtype = x.dtype
-    group_consts = [
-        jnp.asarray(m, dtype=jnp.float32) for _, _, m in groups
-    ]
+    group_consts: list[jnp.ndarray] = []
+    for _, _, m in groups:
+        group_consts.extend(_const_terms(m, precision))
+    cpg = len(group_consts) // len(groups)  # const terms per group
+    external = edge == "external"
+    halo_inputs = (halo,) if external else ()
 
     def kernel(x_hbm, *rest):
-        g_refs = rest[: len(groups)]
-        out_refs = rest[len(groups) : len(groups) + n_planes]
+        halo_hbm = rest[0] if external else None
+        rest = rest[1:] if external else rest
+        g_refs = rest[: len(group_consts)]
+        out_refs = rest[len(group_consts) : len(group_consts) + n_planes]
         scratch, sems = rest[-2:]
         bi = pl.program_id(0)
         t = pl.program_id(1)
-        bs = pl.ds(bi * b_tile, b_tile)
-        num_t = r_out // tile_rows
-        if inline_halo:
-            if num_t > 1:  # single-tile grids have no interior (pl.when
-                # traces both branches, and the interior window would
-                # exceed the operand shape)
-                @pl.when(t != 0)
+        li = bi * num_t + t
+
+        def window_dma(bi2, t2, slot, phase):
+            """Issue (phase=0) or await (phase=1) the copies filling
+            ``scratch[slot]`` with grid step (bi2, t2)'s input window."""
+            bs2 = pl.ds(bi2 * b_tile, b_tile)
+            if inline_halo:
                 def _interior():
                     c = pltpu.make_async_copy(
                         x_hbm.at[
-                            bs, pl.ds(t * tile_rows - halo_rows, window_rows), :
+                            bs2,
+                            pl.ds(t2 * tile_rows - halo_rows, window_rows),
+                            :,
                         ],
-                        scratch,
-                        sems.at[0],
+                        scratch.at[slot],
+                        sems.at[slot, 0],
                     )
-                    c.start()
-                    c.wait()
+                    c.start() if phase == 0 else c.wait()
 
-            @pl.when(t == 0)
-            def _edge():
-                main = pltpu.make_async_copy(
-                    x_hbm.at[bs, pl.ds(0, tile_rows), :],
-                    scratch.at[:, pl.ds(halo_rows, tile_rows), :],
-                    sems.at[0],
-                )
-                if periodic:
-                    wrap = pltpu.make_async_copy(
-                        x_hbm.at[bs, pl.ds(r_out - halo_rows, halo_rows), :],
-                        scratch.at[:, pl.ds(0, halo_rows), :],
-                        sems.at[1],
+                def _edge():
+                    main = pltpu.make_async_copy(
+                        x_hbm.at[bs2, pl.ds(0, tile_rows), :],
+                        scratch.at[slot, :, pl.ds(halo_rows, tile_rows), :],
+                        sems.at[slot, 0],
                     )
-                    main.start()
-                    wrap.start()
-                    main.wait()
-                    wrap.wait()
+                    main.start() if phase == 0 else main.wait()
+                    if edge == "wrap":
+                        second = pltpu.make_async_copy(
+                            x_hbm.at[bs2, pl.ds(r_out - halo_rows, halo_rows), :],
+                            scratch.at[slot, :, pl.ds(0, halo_rows), :],
+                            sems.at[slot, 1],
+                        )
+                        second.start() if phase == 0 else second.wait()
+                    elif edge == "external":
+                        second = pltpu.make_async_copy(
+                            halo_hbm.at[bs2],
+                            scratch.at[slot, :, pl.ds(0, halo_rows), :],
+                            sems.at[slot, 1],
+                        )
+                        second.start() if phase == 0 else second.wait()
+                    elif phase == 0:  # zero fill (compute-stream store)
+                        scratch[slot, :, :halo_rows, :] = jnp.zeros(
+                            (b_tile, halo_rows, _LANES), dtype
+                        )
+
+                if num_t > 1:  # single-tile grids have no interior (pl.when
+                    # traces both branches, and the interior window would
+                    # exceed the operand shape)
+                    pl.when(t2 != 0)(_interior)
+                    pl.when(t2 == 0)(_edge)
                 else:
-                    main.start()
-                    scratch[:, :halo_rows, :] = jnp.zeros(
-                        (b_tile, halo_rows, _LANES), dtype
-                    )
-                    main.wait()
-        else:
-            c = pltpu.make_async_copy(
-                x_hbm.at[bs, pl.ds(t * tile_rows, window_rows), :],
-                scratch,
-                sems.at[0],
-            )
-            c.start()
-            c.wait()
-        flat = scratch[:].reshape(b_tile * window_rows, _LANES)
+                    _edge()
+            else:
+                c = pltpu.make_async_copy(
+                    x_hbm.at[bs2, pl.ds(t2 * tile_rows, window_rows), :],
+                    scratch.at[slot],
+                    sems.at[slot, 0],
+                )
+                c.start() if phase == 0 else c.wait()
+
+        @pl.when(li == 0)
+        def _prologue():
+            window_dma(bi, t, 0, phase=0)
+
+        window_dma(bi, t, li % 2, phase=1)
+
+        if total_steps > 1:
+            @pl.when(li + 1 < total_steps)
+            def _prefetch():
+                li1 = li + 1
+                window_dma(li1 // num_t, li1 % num_t, li1 % 2, phase=0)
+
+        flat = scratch[li % 2].reshape(b_tile * window_rows, _LANES)
         accs = [None] * n_planes
         for gi, (shift, members, _) in enumerate(groups):
             view = _shift_rows(flat, shift)
-            out = _dot(view, g_refs[gi][:], precision)
+            out = _dot_prepped(view, g_refs[gi * cpg : (gi + 1) * cpg], precision)
             for slot, pi in enumerate(members):
                 piece = out[:, slot * _LANES : (slot + 1) * _LANES]
                 accs[pi] = piece if accs[pi] is None else accs[pi] + piece
@@ -729,13 +821,13 @@ def _composite_analysis_call(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(groups))],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(halo_inputs))
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((b_tile, window_rows, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * macs * b * r_out,
@@ -743,7 +835,7 @@ def _composite_analysis_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, *group_consts)
+    )(x, *halo_inputs, *group_consts)
     return tuple(outs)
 
 
@@ -751,11 +843,12 @@ def _composite_analysis_call(
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "periodic", "inline_halo",
+        "interpret", "edge", "inline_halo",
     ),
 )
 def _composite_synthesis_call(
     coeffs: tuple[jnp.ndarray, ...],  # each [B, R, 128]; right halo unless inline
+    halo: jnp.ndarray | None = None,  # [n_planes, B, halo_rows, 128] external
     *,
     levels: int,
     filters: tuple[tuple[float, ...], tuple[float, ...]],
@@ -764,9 +857,17 @@ def _composite_synthesis_call(
     halo_rows: int,
     precision: str,
     interpret: bool,
-    periodic: bool = True,
+    edge: str = "wrap",
     inline_halo: bool = False,
 ):
+    """Composite synthesis kernel (double-buffered DMA pipeline).
+
+    Synthesis reads ``levels + 1`` coefficient planes per output plane, so its
+    input traffic dominates; the double-buffered scratch (step t+1's plane
+    windows DMA'd during step t's dot chain) matters even more than on the
+    analysis side.  ``edge`` handles the RIGHT boundary of the last tile:
+    periodic wrap, zero fill, or an external halo slab (distributed tier).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -788,83 +889,121 @@ def _composite_synthesis_call(
     window_rows = tile_rows + halo_rows
     num_t = r_out // tile_rows
     grid = (b // b_tile, num_t)
+    total_steps = (b // b_tile) * num_t
     dtype = coeffs[0].dtype
-    group_consts = [jnp.asarray(m, dtype=jnp.float32) for _, _, m in groups]
+    group_consts: list[jnp.ndarray] = []
+    for _, _, m in groups:
+        group_consts.extend(_const_terms(m, precision))
+    cpg = len(group_consts) // len(groups)
+    external = edge == "external"
+    halo_inputs = (halo,) if external else ()
 
     def kernel(*refs):
         coeff_hbm = refs[:n_planes]
-        g_refs = refs[n_planes : n_planes + len(groups)]
-        out_ref = refs[n_planes + len(groups)]
+        halo_hbm = refs[n_planes] if external else None
+        off = n_planes + len(halo_inputs)
+        g_refs = refs[off : off + len(group_consts)]
+        out_ref = refs[off + len(group_consts)]
         scratch, sems = refs[-2:]
         bi = pl.program_id(0)
         t = pl.program_id(1)
-        bs = pl.ds(bi * b_tile, b_tile)
-        if inline_halo:
-            if num_t > 1:  # see analysis kernel: avoid tracing an
-                # over-sized interior window on single-tile grids
-                @pl.when(t != num_t - 1)
+        li = bi * num_t + t
+
+        def window_dma(bi2, t2, slot, phase):
+            bs2 = pl.ds(bi2 * b_tile, b_tile)
+            if inline_halo:
                 def _interior():
                     cs = [
                         pltpu.make_async_copy(
                             coeff_hbm[i].at[
-                                bs, pl.ds(t * tile_rows, window_rows), :
+                                bs2, pl.ds(t2 * tile_rows, window_rows), :
                             ],
-                            scratch.at[i],
-                            sems.at[i],
+                            scratch.at[slot, i],
+                            sems.at[slot, i],
                         )
                         for i in range(n_planes)
                     ]
                     for c in cs:
-                        c.start()
-                    for c in cs:
-                        c.wait()
+                        c.start() if phase == 0 else c.wait()
 
-            @pl.when(t == num_t - 1)
-            def _edge():
-                mains = [
+                def _edge():
+                    mains = [
+                        pltpu.make_async_copy(
+                            coeff_hbm[i].at[
+                                bs2, pl.ds(t2 * tile_rows, tile_rows), :
+                            ],
+                            scratch.at[slot, i, :, pl.ds(0, tile_rows), :],
+                            sems.at[slot, i],
+                        )
+                        for i in range(n_planes)
+                    ]
+                    for c in mains:
+                        c.start() if phase == 0 else c.wait()
+                    if edge == "wrap":
+                        seconds = [
+                            pltpu.make_async_copy(
+                                coeff_hbm[i].at[bs2, pl.ds(0, halo_rows), :],
+                                scratch.at[
+                                    slot, i, :, pl.ds(tile_rows, halo_rows), :
+                                ],
+                                sems.at[slot, n_planes + i],
+                            )
+                            for i in range(n_planes)
+                        ]
+                        for c in seconds:
+                            c.start() if phase == 0 else c.wait()
+                    elif edge == "external":
+                        seconds = [
+                            pltpu.make_async_copy(
+                                halo_hbm.at[i, bs2],
+                                scratch.at[
+                                    slot, i, :, pl.ds(tile_rows, halo_rows), :
+                                ],
+                                sems.at[slot, n_planes + i],
+                            )
+                            for i in range(n_planes)
+                        ]
+                        for c in seconds:
+                            c.start() if phase == 0 else c.wait()
+                    elif phase == 0:  # zero fill (compute-stream store)
+                        scratch[slot, :, :, tile_rows:, :] = jnp.zeros(
+                            (n_planes, b_tile, halo_rows, _LANES), dtype
+                        )
+
+                if num_t > 1:  # see analysis kernel: avoid tracing an
+                    # over-sized interior window on single-tile grids
+                    pl.when(t2 != num_t - 1)(_interior)
+                    pl.when(t2 == num_t - 1)(_edge)
+                else:
+                    _edge()
+            else:
+                cs = [
                     pltpu.make_async_copy(
-                        coeff_hbm[i].at[bs, pl.ds(t * tile_rows, tile_rows), :],
-                        scratch.at[i, :, pl.ds(0, tile_rows), :],
-                        sems.at[i],
+                        coeff_hbm[i].at[
+                            bs2, pl.ds(t2 * tile_rows, window_rows), :
+                        ],
+                        scratch.at[slot, i],
+                        sems.at[slot, i],
                     )
                     for i in range(n_planes)
                 ]
-                for c in mains:
-                    c.start()
-                if periodic:
-                    wraps = [
-                        pltpu.make_async_copy(
-                            coeff_hbm[i].at[bs, pl.ds(0, halo_rows), :],
-                            scratch.at[i, :, pl.ds(tile_rows, halo_rows), :],
-                            sems.at[n_planes + i],
-                        )
-                        for i in range(n_planes)
-                    ]
-                    for c in wraps:
-                        c.start()
-                    for c in wraps:
-                        c.wait()
-                else:
-                    scratch[:, :, tile_rows:, :] = jnp.zeros(
-                        (n_planes, b_tile, halo_rows, _LANES), dtype
-                    )
-                for c in mains:
-                    c.wait()
-        else:
-            cs = [
-                pltpu.make_async_copy(
-                    coeff_hbm[i].at[bs, pl.ds(t * tile_rows, window_rows), :],
-                    scratch.at[i],
-                    sems.at[i],
-                )
-                for i in range(n_planes)
-            ]
-            for c in cs:
-                c.start()
-            for c in cs:
-                c.wait()
+                for c in cs:
+                    c.start() if phase == 0 else c.wait()
+
+        @pl.when(li == 0)
+        def _prologue():
+            window_dma(bi, t, 0, phase=0)
+
+        window_dma(bi, t, li % 2, phase=1)
+
+        if total_steps > 1:
+            @pl.when(li + 1 < total_steps)
+            def _prefetch():
+                li1 = li + 1
+                window_dma(li1 // num_t, li1 % num_t, li1 % 2, phase=0)
+
         flats = [
-            scratch[i].reshape(b_tile * window_rows, _LANES)
+            scratch[li % 2, i].reshape(b_tile * window_rows, _LANES)
             for i in range(n_planes)
         ]
         # accumulated-shift coords: out'[r] = out[r - e_max]; all shifts >= 0
@@ -872,7 +1011,7 @@ def _composite_synthesis_call(
         for gi, (shift, members, _) in enumerate(groups):
             views = [_shift_rows(flats[pi], shift) for pi in members]
             cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
-            term = _dot(cat, g_refs[gi][:], precision)
+            term = _dot_prepped(cat, g_refs[gi * cpg : (gi + 1) * cpg], precision)
             acc = term if acc is None else acc + term
         acc = _shift_rows(acc.astype(dtype), halo_rows - e_max)
         out_ref[:] = acc.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
@@ -881,8 +1020,9 @@ def _composite_synthesis_call(
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(groups))],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        * (n_planes + len(halo_inputs))
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
         out_specs=pl.BlockSpec(
             (b_tile, tile_rows, _LANES),
             lambda bi, t: (bi, t, 0),
@@ -890,8 +1030,8 @@ def _composite_synthesis_call(
         ),
         out_shape=jax.ShapeDtypeStruct((b, r_out, _LANES), dtype),
         scratch_shapes=[
-            pltpu.VMEM((n_planes, b_tile, window_rows, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((2 * n_planes,)),
+            pltpu.VMEM((2, n_planes, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, 2 * n_planes)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * macs * b * r_out,
@@ -899,31 +1039,61 @@ def _composite_synthesis_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*coeffs, *group_consts)
+    )(*coeffs, *halo_inputs, *group_consts)
     return out
 
 
+def composite_halo_samples(filter_length: int, levels: int) -> int:
+    """Cumulative composite-filter support: (L0-1)(2^J - 1) samples."""
+    return (filter_length - 1) * ((1 << levels) - 1)
+
+
+def _composite_halo_rows(filter_length: int, levels: int) -> int:
+    span = composite_halo_samples(filter_length, levels)
+    return _round_up(max(-(-span // _LANES), 1), 8)
+
+
+def _pad_halo_rows(halo, halo_pad: int, side: str):
+    """[B, H] neighbor samples -> [B, halo_rows, 128] slab (zero-fill the
+    unreachable far side of the row-quantized halo)."""
+    b, h = halo.shape
+    if h < halo_pad:
+        z = jnp.zeros((b, halo_pad - h), dtype=halo.dtype)
+        halo = jnp.concatenate([z, halo] if side == "left" else [halo, z],
+                               axis=-1)
+    elif h > halo_pad:
+        halo = halo[..., -halo_pad:] if side == "left" else halo[..., :halo_pad]
+    return _to_rows(halo)
+
+
 def run_analysis_composite(x, levels, filters, periodic, tile, precision,
-                           interpret):
+                           interpret, halo=None):
     """[B, N] composite-filter analysis; arbitrary N; periodic/zero.
 
     When N is a whole number of row tiles the kernel fetches its own halos
     (edge-tile wrap DMAs) and NO extended copy of x is built — the extend
     path costs more than the kernel itself at bench shapes.
+
+    ``halo``: optional [B, >=span] LEFT-neighbor samples (the distributed
+    tier's ppermute output; samples just left of ``x[..., 0]``).  Overrides
+    ``periodic`` — the boundary is the neighbor's data, zero beyond it.
     """
     b, n = x.shape
     filter_length = len(filters[0])
-    span = (filter_length - 1) * ((1 << levels) - 1)
-    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    span = composite_halo_samples(filter_length, levels)
+    halo_rows = _composite_halo_rows(filter_length, levels)
     halo_pad = halo_rows * _LANES
     b_tile, tile_rows = _auto_tiles(
         b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
         x.dtype.itemsize,
     )
+    external = halo is not None
+    edge = "external" if external else ("wrap" if periodic else "zero")
     inline = n % (tile_rows * _LANES) == 0 and n >= halo_pad
     if inline:
         outs = _composite_analysis_call(
             _to_rows(x),
+            _pad_halo_rows(halo, halo_pad, "left") if external else None,
             levels=levels,
             filters=filters,
             b_tile=b_tile,
@@ -931,12 +1101,14 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
             halo_rows=halo_rows,
             precision=precision,
             interpret=interpret,
-            periodic=periodic,
+            edge=edge,
             inline_halo=True,
         )
         return tuple(_from_rows(o) for o in outs)
     n_pad = _round_up(n, tile_rows * _LANES)
-    if periodic:
+    if external:
+        left = _from_rows(_pad_halo_rows(halo, halo_pad, "left"))
+    elif periodic:
         reps = -(-halo_pad // n)
         left = jnp.concatenate([x] * reps, axis=-1)[..., -halo_pad:]
     else:
@@ -947,6 +1119,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
     x_ext = _to_rows(jnp.concatenate(pieces, axis=-1))
     outs = _composite_analysis_call(
         x_ext,
+        None,
         levels=levels,
         filters=filters,
         b_tile=b_tile,
@@ -954,28 +1127,40 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
         halo_rows=halo_rows,
         precision=precision,
         interpret=interpret,
-        periodic=periodic,
+        edge="zero" if external else edge,
         inline_halo=False,
     )
     return tuple(_from_rows(o)[..., :n] for o in outs)
 
 
 def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
-                            precision, interpret):
-    """Tuple of [B, N] planes -> [B, N]; arbitrary N; periodic/zero."""
+                            precision, interpret, halo=None):
+    """Tuple of [B, N] planes -> [B, N]; arbitrary N; periodic/zero.
+
+    ``halo``: optional tuple of [B, >=span] RIGHT-neighbor samples per plane
+    (samples just right of each plane's end).  Overrides ``periodic``.
+    """
     b, n = coeff_planes[0].shape
     filter_length = len(filters[0])
-    span = (filter_length - 1) * ((1 << levels) - 1)
-    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    halo_rows = _composite_halo_rows(filter_length, levels)
     halo_pad = halo_rows * _LANES
     b_tile, tile_rows = _auto_tiles(
         b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
         coeff_planes[0].dtype.itemsize,
+        scratch_windows=2 * (levels + 2),
     )
+    external = halo is not None
+    edge = "external" if external else ("wrap" if periodic else "zero")
     inline = n % (tile_rows * _LANES) == 0 and n >= halo_pad
     if inline:
+        halo_stack = (
+            jnp.stack([_pad_halo_rows(h, halo_pad, "right") for h in halo])
+            if external
+            else None
+        )
         out = _composite_synthesis_call(
             tuple(_to_rows(p) for p in coeff_planes),
+            halo_stack,
             levels=levels,
             filters=filters,
             b_tile=b_tile,
@@ -983,14 +1168,16 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
             halo_rows=halo_rows,
             precision=precision,
             interpret=interpret,
-            periodic=periodic,
+            edge=edge,
             inline_halo=True,
         )
         return _from_rows(out)
     n_pad = _round_up(n, tile_rows * _LANES)
 
-    def extend(plane):
-        if periodic:
+    def extend(plane, ext_halo=None):
+        if ext_halo is not None:
+            right = _from_rows(_pad_halo_rows(ext_halo, halo_pad, "right"))
+        elif periodic:
             reps = -(-halo_pad // n)
             right = jnp.concatenate([plane] * reps, axis=-1)[..., :halo_pad]
         else:
@@ -1001,7 +1188,11 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
         return _to_rows(jnp.concatenate(pieces, axis=-1))
 
     out = _composite_synthesis_call(
-        tuple(extend(p) for p in coeff_planes),
+        tuple(
+            extend(p, halo[i] if external else None)
+            for i, p in enumerate(coeff_planes)
+        ),
+        None,
         levels=levels,
         filters=filters,
         b_tile=b_tile,
@@ -1009,7 +1200,7 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
         halo_rows=halo_rows,
         precision=precision,
         interpret=interpret,
-        periodic=periodic,
+        edge="zero" if external else edge,
         inline_halo=False,
     )
     return _from_rows(out)[..., :n]
