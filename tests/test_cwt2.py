@@ -113,6 +113,7 @@ def test_icwt2_mexh_real_path_and_mean():
     assert np.abs(rec - img).max() < 1e-4 * np.abs(img - img.mean()).max()
 
 
+@pytest.mark.slow
 def test_icwt2_zero_boundary_interior():
     img = _bandlimited_image(128, 128, 0.05, 0.3)
     g = vw.gaussian2(2, directional=True)

@@ -36,6 +36,7 @@ def test_level_responses_match_impulse_oracle():
         np.testing.assert_allclose(g_pow, oracle, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_deconvolve_beats_blurred_input(rng):
     n = 2048
     clean = composite_sin(n)
@@ -56,6 +57,7 @@ def test_deconvolve_beats_blurred_input(rng):
     assert err_out <= 1.05 * err_wiener
 
 
+@pytest.mark.slow
 def test_deconvolve_beats_naive_inverse(rng):
     n = 1024
     clean = composite_sin(n)
@@ -158,6 +160,7 @@ def test_deconvolve2_beats_blurred_input(rng):
     assert all(len(t) == 3 for t in res.level_sigmas)  # (lh, hl, hh)
 
 
+@pytest.mark.slow
 def test_deconvolve2_batched_jit(rng):
     clean = _test_image(32, 32)
     psf = _gaussian_psf(1.2, 7)

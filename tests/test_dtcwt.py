@@ -39,6 +39,7 @@ def test_qshift_quarter_sample_delay():
     assert dev.max() < 0.06  # radians
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("levels", [1, 3, 5])
 @pytest.mark.parametrize("shape", [(512,), (3, 512)])
 def test_perfect_reconstruction(levels, shape):
@@ -95,6 +96,7 @@ def _recon_level_dwt(x, j, levels=4):
     )
 
 
+@pytest.mark.slow
 def test_near_shift_invariance_vs_dwt():
     """The DTCWT's reason to exist: per-level reconstruction commutes with
     shifts far better than the critically-sampled DWT."""

@@ -13,6 +13,7 @@ from vectorwave_tpu.errors import VectorWaveError
 from vectorwave_tpu.transforms.dtcwt2 import DTCWT2Result, dtcwt2, idtcwt2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(64, 64), (2, 64, 96)])
 def test_perfect_reconstruction(shape):
     rng = np.random.default_rng(0)
@@ -24,6 +25,7 @@ def test_perfect_reconstruction(shape):
     assert res.lowpasses.shape == shape[:-2] + (4, shape[-2] // 8, shape[-1] // 8)
 
 
+@pytest.mark.slow
 def test_energy_identity():
     rng = np.random.default_rng(1)
     img = jnp.asarray(rng.standard_normal((128, 128)))
@@ -54,6 +56,7 @@ def _effective_wavelet_spectrum(band, level=3, n=128):
     return np.abs(np.fft.fft2(psi)) ** 2
 
 
+@pytest.mark.slow
 def test_quadrant_localization():
     n = 128
     fy = np.fft.fftfreq(n)[:, None]
@@ -74,6 +77,7 @@ def test_quadrant_localization():
         assert frac > (0.97 if band >= 4 else 0.75), (band, frac)
 
 
+@pytest.mark.slow
 def test_oriented_gratings_pick_their_band():
     n = 128
     yy, xx = np.mgrid[0:n, 0:n]

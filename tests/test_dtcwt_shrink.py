@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -20,6 +21,7 @@ def _doppler(n):
     return x / x.std()
 
 
+@pytest.mark.slow
 def test_1d_beats_noisy_and_universal_modwt():
     rng = np.random.default_rng(0)
     clean = _doppler(2048)
@@ -32,6 +34,7 @@ def test_1d_beats_noisy_and_universal_modwt():
     assert _snr(clean, den) > _snr(clean, den_uni) + 1  # the point of it
 
 
+@pytest.mark.slow
 def test_2d_beats_separable_denoise():
     rng = np.random.default_rng(1)
     h = w = 128
@@ -64,6 +67,7 @@ def test_local_power_window_is_uniform():
     assert out[12] == 0 and out[20] == 0
 
 
+@pytest.mark.slow
 def test_batch_and_explicit_sigma():
     rng = np.random.default_rng(2)
     clean = np.stack([_doppler(1024), -_doppler(1024)])

@@ -19,6 +19,7 @@ EXAMPLES = sorted(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("script", EXAMPLES, ids=lambda p: p.name)
 def test_example_runs(script, capsys):
     """Every example script runs end-to-end (the docs-as-tests analogue)."""
@@ -43,6 +44,7 @@ def _synthetic_ticks(n=5000, seed=21):
     return price, volume
 
 
+@pytest.mark.slow
 def test_tick_data_denoising_recovers_mid_price():
     price, _ = _synthetic_ticks()
     mid_est = np.asarray(

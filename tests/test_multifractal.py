@@ -75,6 +75,7 @@ def test_leaders_match_brute_force():
         np.testing.assert_allclose(np.asarray(g), e, rtol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hurst", [0.3, 0.7])
 def test_fbm_is_monofractal_with_c1_near_h(hurst):
     x = jnp.asarray(np.stack([fbm(2**14, hurst, s) for s in range(8)]))
@@ -104,6 +105,7 @@ def test_cascade_is_multifractal():
     assert float(np.asarray(res.D).max()) <= 1.0 + 0.1
 
 
+@pytest.mark.slow
 def test_batch_axes_shapes():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 3, 4096)))
     res = vw.multifractal_spectrum(x, "db2", qs=(-2, -1, 1, 2))
@@ -114,6 +116,7 @@ def test_batch_axes_shapes():
     assert res.levels[0] == 2
 
 
+@pytest.mark.slow
 def test_non_dyadic_length_default_levels():
     # N=1000: only 3 dyadic levels divide it; the default max_level must
     # clamp to that instead of crashing in wavedec
@@ -123,6 +126,7 @@ def test_non_dyadic_length_default_levels():
     assert np.all(np.isfinite(np.asarray(res.zeta)))
 
 
+@pytest.mark.slow
 def test_flat_segments_do_not_produce_nan():
     # long zero segments give exactly-zero leaders; negative-q moments must
     # stay finite (relative floor, not finfo.tiny)

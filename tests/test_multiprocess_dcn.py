@@ -14,6 +14,9 @@ import json
 import pathlib
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_two_process_gloo_parity():

@@ -59,6 +59,7 @@ def test_energy_preserved_every_depth(transform):
         assert float(tree.energy_map(j).sum()) == pytest.approx(total, rel=1e-12)
 
 
+@pytest.mark.slow
 def test_tree_shapes_and_flags():
     x = _x((5, 128))
     t = vw.wpt(x, "db4", 3)
@@ -79,6 +80,7 @@ def test_batch_matches_single():
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("transform", [vw.wpt, vw.modwpt])
 def test_frequency_order_monotone_tones(transform):
     peaks = []
@@ -123,6 +125,7 @@ def _all_admissible_bases(depth):
     return expand(0, 0, depth)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("cost", ["shannon", "log_energy", "threshold", "l1"])
 def test_best_basis_is_brute_force_optimal(cost):
     x = _x((192,), seed=11) * jnp.asarray(
@@ -158,6 +161,7 @@ def test_best_basis_callable_cost():
     _validate_basis(basis, 2)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("transform,inverse", [(vw.wpt, vw.iwpt), (vw.modwpt, vw.imodwpt)])
 def test_reconstruct_from_best_basis_exact(transform, inverse):
     x = _x(seed=5)
@@ -191,6 +195,7 @@ def test_reconstruct_basis_node_hook_denoises():
     assert noise_out < 0.5 * noise_in
 
 
+@pytest.mark.slow
 def test_whole_pipeline_jits():
     x = _x()
 
@@ -226,6 +231,7 @@ def test_error_paths():
         vw.best_basis(tree, cost="nope")
 
 
+@pytest.mark.slow
 def test_denoise_packet_beats_modwt_on_highband_tone():
     """Best-basis packet denoising preserves narrowband HF structure that
     the level-tiling MODWT denoiser destroys."""

@@ -19,6 +19,7 @@ from vectorwave_tpu.transforms.packets2d import (
 from vectorwave_tpu.transforms.twodim import dwt2
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("wavelet", ["db4", "bior2.2"])
 def test_quadtree_roundtrip(wavelet, rng):
     x = jnp.asarray(rng.standard_normal((2, 32, 32)))
@@ -83,6 +84,7 @@ def test_separable_tensor_structure(rng):
         )
 
 
+@pytest.mark.slow
 def test_best_basis_admissible_and_minimal(rng):
     t = np.linspace(0.0, 1.0, 64)
     texture = np.sin(2 * np.pi * 24 * t)[:, None] * np.sin(2 * np.pi * 3 * t)[None, :]
@@ -161,6 +163,7 @@ def test_jit_and_batch(rng):
     np.testing.assert_allclose(np.asarray(roundtrip(x)), np.asarray(x), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_denoise_packet2_beats_noise(rng):
     h = w = 64
     yy, xx = np.mgrid[0:h, 0:w]

@@ -325,6 +325,7 @@ def test_sharded_batch_analysis_modules():
     np.testing.assert_array_equal(np.asarray(ridge(xs)), np.asarray(ridge(xb)))
 
 
+@pytest.mark.slow
 def test_sharded_batch_sparse_solvers():
     """The FISTA sparse solvers run unchanged over a sharded batch axis —
     the fori_loop carry keeps the input sharding, so parity with the
@@ -349,3 +350,75 @@ def test_sharded_batch_sparse_solvers():
         lambda z: vw.inpaint(z * mask, mask, "db4", levels=3, steps=20)
     )
     np.testing.assert_allclose(np.asarray(inp(xs)), np.asarray(inp(xb)), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-backed tiled path: shard-local compute through the composite MXU
+# kernel (edge='external'), parity vs the single-device fused kernel at the
+# same precision.  Interpreter mode on the CPU mesh; compiled on TPU.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+def test_tiled_pallas_matches_fused_kernel(signal_mesh, boundary):
+    from vectorwave_tpu.kernels.modwt_pallas import fused_analysis, fused_synthesis
+
+    x = jnp.asarray(composite_sin(2048, noise_std=0.3), dtype=jnp.float32)
+    tiled = modwt_multilevel_tiled(
+        x, "db4", levels=3, mesh=signal_mesh, boundary=boundary,
+        backend="pallas", precision="float32",
+    )
+    d_ref, a_ref = fused_analysis(
+        x, "db4", levels=3, boundary=boundary, interpret=True,
+        precision="float32",
+    )
+    for a, b in zip(tiled.details + (tiled.approx,), d_ref + (a_ref,)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    xr = imodwt_multilevel_tiled(
+        tiled, "db4", mesh=signal_mesh, boundary=boundary,
+        backend="pallas", precision="float32",
+    )
+    xr_ref = fused_synthesis(
+        d_ref, a_ref, "db4", boundary=boundary, interpret=True,
+        precision="float32",
+    )
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xr_ref), atol=1e-6)
+    if boundary == "periodic":
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-5)
+
+
+def test_tiled_pallas_deep_halo_and_batch(mesh_2d):
+    """Cumulative halo wider than a shard (multi-hop ppermute) + a batched
+    2-D mesh with distinct dec/rec filters (bior)."""
+    from vectorwave_tpu.kernels.modwt_pallas import fused_analysis
+
+    rng = np.random.default_rng(5)
+    xb = jnp.asarray(rng.standard_normal((4, 512)), dtype=jnp.float32)
+    # span = (16-1)(2^4-1) = 225 > 512/4 = 128 samples/shard -> 2 hops
+    tiled = modwt_multilevel_tiled(
+        xb, "db8", levels=4, mesh=mesh_2d, axis="signal", batch_axis="data",
+        backend="pallas", precision="float32",
+    )
+    d_ref, a_ref = fused_analysis(
+        xb, "db8", levels=4, interpret=True, precision="float32"
+    )
+    for a, b in zip(tiled.details + (tiled.approx,), d_ref + (a_ref,)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    xr = imodwt_multilevel_tiled(
+        tiled, "db8", mesh=mesh_2d, axis="signal", batch_axis="data",
+        backend="pallas", precision="float32",
+    )
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xb), atol=1e-5)
+
+
+def test_tiled_backend_validation(signal_mesh):
+    x = jnp.zeros(1024, dtype=jnp.float32)
+    with pytest.raises(vw.InvalidArgumentError):
+        modwt_multilevel_tiled(
+            x, "db4", levels=2, mesh=signal_mesh, backend="cuda"
+        )
+    with pytest.raises(vw.InvalidArgumentError):
+        modwt_multilevel_tiled(
+            x, "db4", levels=2, mesh=signal_mesh, boundary="symmetric",
+            backend="pallas",
+        )

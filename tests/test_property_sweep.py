@@ -8,6 +8,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import vectorwave_tpu as vw
 
 WAVELETS = ["haar", "db2", "db4", "db7", "sym5", "coif2", "bior2.4", "rbio3.1"]

@@ -12,6 +12,7 @@ import vectorwave_tpu as vw
 from vectorwave_tpu.errors import VectorWaveError
 
 
+@pytest.mark.slow
 def test_translation_invariance():
     rng = np.random.default_rng(0)
     n = 128
@@ -29,6 +30,7 @@ def test_translation_invariance():
         assert np.linalg.norm(fs - f0) / np.linalg.norm(f0) < 0.01
 
 
+@pytest.mark.slow
 def test_angle_profile_follows_texture_orientation():
     n = 128
     yy, xx = np.mgrid[0:n, 0:n]
@@ -45,6 +47,7 @@ def test_angle_profile_follows_texture_orientation():
         assert int(np.argmax(energies[j])) == expected_idx, (deg, energies[j])
 
 
+@pytest.mark.slow
 def test_texture_discrimination_in_order2():
     """Same spectrum band, different spatial structure: stripes vs
     checkerboard-modulated stripes separate in the features."""
@@ -69,6 +72,7 @@ def test_texture_discrimination_in_order2():
     assert between > 2 * within
 
 
+@pytest.mark.slow
 def test_shapes_orders_and_validation():
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.standard_normal((2, 64, 64)).astype(np.float32))

@@ -38,6 +38,7 @@ def test_fista_rejects_bad_steps():
         vw.fista(lambda c: c, lambda c, i: c, jnp.zeros(4), steps=0)
 
 
+@pytest.mark.slow
 def test_bpdn_denoises_and_beats_one_shot():
     clean, noisy = _sines(noise=0.3)
     y = jnp.asarray(noisy, jnp.float32)
@@ -50,6 +51,7 @@ def test_bpdn_denoises_and_beats_one_shot():
     assert mse_out < np.mean((one_shot - clean) ** 2)
 
 
+@pytest.mark.slow
 def test_bpdn_batched_equals_individual():
     """Leading batch axis separable: default lam is per-signal (MAD keepdims)."""
     _, n0 = _sines(noise=0.3, seed=1)
@@ -75,6 +77,7 @@ def test_inpaint_fills_missing_and_keeps_observed():
     np.testing.assert_array_equal(out[~miss], np.asarray(y)[~miss])
 
 
+@pytest.mark.slow
 def test_inpaint_no_enforce_stays_close_on_observed():
     clean, _ = _sines(n=256)
     rng = np.random.default_rng(4)
@@ -88,6 +91,7 @@ def test_inpaint_no_enforce_stays_close_on_observed():
     assert rel < 0.1
 
 
+@pytest.mark.slow
 def test_inpaint2_fills_missing_pixels():
     rng = np.random.default_rng(1)
     yy, xx = np.meshgrid(

@@ -194,6 +194,7 @@ def test_cross_wavelet_length_mismatch():
         vw.cross_wavelet(jnp.ones(64), jnp.ones(128), (2.0, 4.0), "morl")
 
 
+@pytest.mark.slow
 def test_ridge_blocked_matches_sequential():
     """The blocked max-plus Viterbi equals the sequential scan DP exactly
     (f64): same indices on random fields, batched, at awkward lengths."""
@@ -301,6 +302,7 @@ def test_phase_randomized_surrogates_preserve_spectrum():
     assert float(jnp.abs(s[0] - x).max()) > 0.1
 
 
+@pytest.mark.slow
 def test_coherence_significance_monte_carlo():
     """Independent broadband noise stays below the surrogate level at most
     scales; a phase-locked pair exceeds it at the shared-tone scale."""

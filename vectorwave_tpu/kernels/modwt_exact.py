@@ -1,0 +1,579 @@
+"""Exact (≤1e-10 on-chip) MODWT kernels: double-float planes + sliced MXU dots.
+
+BASELINE.json's parity gate asks for bit-parity-grade round trips (RMSE
+<=1e-10, the reference meets 1e-12 with Java doubles in-process:
+``vectorwave-core/src/test/.../ModwtPeriodicRoundTripTest.java:37``,
+``MODWTPercivalWaldenValidationTest.java:29-30``).  A TPU has no f64 units
+and f32 storage alone caps a round trip near 1e-7, so this module computes
+the same composite-filter banded matmuls as :mod:`.modwt_mxu` in an
+extended-precision representation that the MXU can still serve:
+
+* **Planes are double-float pairs** ``(hi, lo)`` of f32 — an unevaluated sum
+  carrying ~48 mantissa bits through HBM (the storage floor that f32 planes
+  cannot cross).
+* **Every dot is computed EXACTLY** via fixed-point slicing (the Ozaki
+  splitting used for f64-grade GEMM on tensor cores): operands are cut into
+  8-bit slices aligned to one global power-of-two scale, each slice exact in
+  bf16; slice-pair products are exact in f32 and their 128-deep MXU
+  accumulation stays below 2^24 ulp, so every partial dot is ERROR-FREE.
+  Slices are extracted with the classic big-constant trick
+  (``fl(fl(r + s) - s)``, exact in round-to-nearest f32).
+* Partial dots are combined smallest-magnitude-last with branch-free
+  ``two_sum`` chains into a double-float accumulator, so the only error left
+  is the ~2^-48 representation floor of the output pair.
+
+Measured on chip (bench.py extras): round-trip RMSE ~1e-13 at a few hundred
+Msamples/s — the precision tier of the ladder (float32 / bf16_3x / bf16 are
+in modwt_mxu).  Cost model: input slices ``KX`` x constant slices ``KM``
+with ``i + j <= KEEP`` kept pairs -> ``KEEP``-fold the default mode's MXU
+work (21 pairs for the synthesis side vs 3 passes for bf16_3x).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .modwt_mxu import (
+    _band_single,
+    _composite_halo_rows,
+    _from_rows,
+    _to_rows,
+    composite_plane_filters,
+)
+from .modwt_pallas import _round_up
+
+_LANES = 128
+
+#: slice geometry: 8-bit slices; inputs carry 48 bits (double-float pair),
+#: constants carry 48 bits of the f64 filters; keep pairs with i+j <= KEEP-1
+#: (every dropped pair is < 2^(-8*KEEP) relative).
+KX_PAIR = 6  # slices for a (hi, lo) input pair
+KX_SINGLE = 6  # slices for an exact-f32 input (small-magnitude elements
+# carry mantissa bits well below 2^(E-24); 6 slices keep the truncation
+# floor at 2^(E-49))
+KM = 6  # slices for the f64 constants
+KEEP = 6  # keep (i, j) with i + j < KEEP
+
+
+def _slice_constant(m: np.ndarray, n_slices: int = KM) -> list[np.ndarray]:
+    """Static fixed-point slices of a constant matrix, in natural units.
+
+    Slice c is a multiple of 2^(F-8(c+1)) bounded by 2^(F-8c) (an 8-bit
+    integer times a power of two), hence exact in bf16.
+    """
+    amax = float(np.max(np.abs(m)))
+    f_exp = int(math.ceil(math.log2(amax))) + 1 if amax > 0 else 0
+    slices = []
+    r = np.asarray(m, dtype=np.float64).copy()
+    for c in range(n_slices):
+        g = 2.0 ** (f_exp - 8 * (c + 1))
+        s = np.round(r / g) * g
+        slices.append(s)
+        r -= s
+    return slices
+
+
+def _two_sum(a, b):
+    """Branch-free Knuth two_sum: a + b = s + e exactly (f32 RN)."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
+def _df_add(hi, lo, term):
+    """(hi, lo) + exact f32 term -> renormalized double-float."""
+    s, e = _two_sum(hi, term)
+    return s, lo + e
+
+
+def _extract_slices(rh, rl, sigma0, n_slices):
+    """Fixed-point slices of the double-float (rh, rl) against the runtime
+    power-of-two scale ``sigma0 = 2^(E+15)`` (|value| < 2^E): slice c is a
+    multiple of 2^(E-8-8c), exact in bf16, returned in f32 (Mosaic has no
+    sub-32-bit sublane rotate, so slices shift in f32 and cast per dot)."""
+    slices = []
+    for c in range(n_slices):
+        sig = sigma0 * np.float32(2.0 ** (-8 * c))
+        t = rh + sig
+        m = t - sig
+        slices.append(m)
+        rh = rh - m
+        if rl is not None:
+            rh, rl = _two_sum(rh, rl)
+    return slices
+
+
+def _shift_rows(flat, shift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    if shift == 0:
+        return flat
+    return pltpu.roll(flat, shift, 0)
+
+
+def _dot_exact_pairs(x_slices, m_slice_refs, keep=KEEP):
+    """Sum of EXACT slice-pair dots combined into a double-float.
+
+    x_slices: f32 slice arrays (shifted views); m_slice_refs: bf16 constant
+    slice refs.  Pairs ordered by descending magnitude (i + j ascending) so
+    the two_sum chain sees largest first.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    kw = {"preferred_element_type": jnp.float32}
+    hi = None
+    lo = None
+    for s in range(keep):
+        for i in range(min(s + 1, len(x_slices))):
+            j = s - i
+            if j >= len(m_slice_refs):
+                continue
+            term = jax.lax.dot_general(
+                x_slices[i].astype(jnp.bfloat16), m_slice_refs[j][:], dims, **kw
+            )
+            if hi is None:
+                hi, lo = term, jnp.zeros_like(term)
+            else:
+                hi, lo = _df_add(hi, lo, term)
+    return hi, lo
+
+
+def _sigma0_from(*arrays):
+    """Runtime power-of-two scale 2^(E+15) with |values| < 2^E (global over
+    the given arrays; exact: exponent arithmetic on a power of two)."""
+    amax = jnp.maximum(
+        functools.reduce(
+            jnp.maximum, [jnp.max(jnp.abs(a)) for a in arrays]
+        ),
+        jnp.float32(1e-30),
+    )
+    e = jnp.ceil(jnp.log2(amax)) + 1.0
+    return jnp.exp2(e + 15.0).astype(jnp.float32).reshape(1, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "filters", "b_tile", "tile_rows", "halo_rows",
+                     "interpret", "has_lo"),
+)
+def _exact_analysis_call(
+    x_hi: jnp.ndarray,  # [B, R_total, 128], left halo prepended
+    x_lo: jnp.ndarray | None,
+    sigma0: jnp.ndarray,  # [1, 1] f32 power of two
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    interpret: bool,
+    has_lo: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    planes = composite_plane_filters(low, high, levels)
+    n_planes = len(planes)
+    plane_bands = [_band_single(p, sign=-1) for p in planes]
+    all_e = sorted({e for pb in plane_bands for e in pb}, reverse=True)
+    groups = []  # (shift, members, [KM slices of concat matrix])
+    for e in all_e:
+        members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
+        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=1)
+        groups.append((-e, members, _slice_constant(m_cat)))
+
+    b, r_total, _ = x_hi.shape
+    r_out = r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    grid = (b // b_tile, r_out // tile_rows)
+    kx = KX_PAIR if has_lo else KX_SINGLE
+    group_consts = [
+        jnp.asarray(sl, dtype=jnp.bfloat16) for _, _, sls in groups for sl in sls
+    ]
+    n_in = 2 + (1 if has_lo else 0) + len(group_consts)
+
+    def kernel(*refs):
+        x_hbm = refs[0]
+        xlo_hbm = refs[1] if has_lo else None
+        sig_ref = refs[2] if has_lo else refs[1]
+        g_refs = refs[(3 if has_lo else 2): n_in]
+        out_refs = refs[n_in : n_in + 2 * n_planes]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        bs = pl.ds(bi * b_tile, b_tile)
+        ts = pl.ds(t * tile_rows, window_rows)
+        c0 = pltpu.make_async_copy(x_hbm.at[bs, ts, :], scratch.at[0], sems.at[0])
+        c0.start()
+        if has_lo:
+            c1 = pltpu.make_async_copy(
+                xlo_hbm.at[bs, ts, :], scratch.at[1], sems.at[1]
+            )
+            c1.start()
+            c1.wait()
+        c0.wait()
+        sigma0_k = sig_ref[0, 0]
+        rh = scratch[0].reshape(b_tile * window_rows, _LANES)
+        rl = (
+            scratch[1].reshape(b_tile * window_rows, _LANES) if has_lo else None
+        )
+        slices = _extract_slices(rh, rl, sigma0_k, kx)
+        accs_hi = [None] * n_planes
+        accs_lo = [None] * n_planes
+        gi = 0
+        for shift, members, sls in groups:
+            views = [_shift_rows(s, shift) for s in slices]
+            m_refs = g_refs[gi : gi + len(sls)]
+            gi += len(sls)
+            out_hi, out_lo = _dot_exact_pairs(views, m_refs)
+            for slot, pi in enumerate(members):
+                ph = out_hi[:, slot * _LANES : (slot + 1) * _LANES]
+                plo = out_lo[:, slot * _LANES : (slot + 1) * _LANES]
+                if accs_hi[pi] is None:
+                    accs_hi[pi], accs_lo[pi] = ph, plo
+                else:
+                    h, e = _two_sum(accs_hi[pi], ph)
+                    accs_hi[pi] = h
+                    accs_lo[pi] = accs_lo[pi] + plo + e
+        for pi in range(n_planes):
+            # renormalize so hi is the f32 round of the pair
+            h, l2 = _two_sum(accs_hi[pi], accs_lo[pi])
+            out_refs[2 * pi][:] = h.reshape(b_tile, window_rows, _LANES)[
+                :, halo_rows:, :
+            ]
+            out_refs[2 * pi + 1][:] = l2.reshape(b_tile, window_rows, _LANES)[
+                :, halo_rows:, :
+            ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, r_out, _LANES), jnp.float32)
+        for _ in range(2 * n_planes)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(2 * n_planes)
+    ]
+    inputs = [x_hi] + ([x_lo] if has_lo else []) + [sigma0] + group_consts
+    in_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)] * (2 if has_lo else 1)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))]
+    )
+    n_blocks = sum(sls[0].shape[1] // _LANES for _, _, sls in groups)
+    pairs = sum(
+        1 for s in range(KEEP) for i in range(min(s + 1, kx)) if s - i < KM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM(((2 if has_lo else 1), b_tile, window_rows, _LANES),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pairs * n_blocks * _LANES * b * r_out,
+            bytes_accessed=b * r_out * _LANES * 4 * (2 * n_planes + 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return tuple(outs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "filters", "b_tile", "tile_rows", "halo_rows",
+                     "interpret"),
+)
+def _exact_synthesis_call(
+    coeffs: tuple[jnp.ndarray, ...],  # 2*(levels+1) arrays (hi0, lo0, hi1, ...)
+    sigma0: jnp.ndarray,
+    *,
+    levels: int,
+    filters: tuple[tuple[float, ...], tuple[float, ...]],
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    planes = composite_plane_filters(low, high, levels)
+    n_planes = len(planes)
+    plane_bands = [_band_single(p, sign=+1) for p in planes]
+    all_e = sorted({e for pb in plane_bands for e in pb})
+    e_max = all_e[-1]
+    # per-(group, member) constant slices: the exact dot contracts 128 lanes
+    # at a time (concatenating members would push the exact-accumulation
+    # budget past 2^24 ulp), so members stay separate here.
+    groups = []  # (shift, [(plane, [KM slices])])
+    for e in all_e:
+        members = [
+            (pi, _slice_constant(plane_bands[pi][e]))
+            for pi in range(n_planes)
+            if e in plane_bands[pi]
+        ]
+        groups.append((e_max - e, members))
+
+    b, r_total, _ = coeffs[0].shape
+    r_out = r_total - halo_rows
+    window_rows = tile_rows + halo_rows
+    grid = (b // b_tile, r_out // tile_rows)
+    group_consts = [
+        jnp.asarray(sl, dtype=jnp.bfloat16)
+        for _, members in groups
+        for _, sls in members
+        for sl in sls
+    ]
+    n_coeffs = 2 * n_planes
+
+    def kernel(*refs):
+        coeff_hbm = refs[:n_coeffs]
+        sig_ref = refs[n_coeffs]
+        g_refs = refs[n_coeffs + 1 : n_coeffs + 1 + len(group_consts)]
+        out_hi_ref = refs[n_coeffs + 1 + len(group_consts)]
+        out_lo_ref = refs[n_coeffs + 2 + len(group_consts)]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        bs = pl.ds(bi * b_tile, b_tile)
+        ts = pl.ds(t * tile_rows, window_rows)
+        copies = [
+            pltpu.make_async_copy(
+                coeff_hbm[i].at[bs, ts, :], scratch.at[i], sems.at[i]
+            )
+            for i in range(n_coeffs)
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        sigma0_k = sig_ref[0, 0]
+        # slice every plane once (6 slices each, f32)
+        plane_slices = []
+        for pi in range(n_planes):
+            rh = scratch[2 * pi].reshape(b_tile * window_rows, _LANES)
+            rl = scratch[2 * pi + 1].reshape(b_tile * window_rows, _LANES)
+            plane_slices.append(_extract_slices(rh, rl, sigma0_k, KX_PAIR))
+        acc_hi = None
+        acc_lo = None
+        gi = 0
+        for shift, members in groups:
+            for pi, sls in members:
+                views = [_shift_rows(s, shift) for s in plane_slices[pi]]
+                m_refs = g_refs[gi : gi + len(sls)]
+                gi += len(sls)
+                hi, lo = _dot_exact_pairs(views, m_refs)
+                if acc_hi is None:
+                    acc_hi, acc_lo = hi, lo
+                else:
+                    h, e = _two_sum(acc_hi, hi)
+                    acc_hi = h
+                    acc_lo = acc_lo + lo + e
+        acc_hi = _shift_rows(acc_hi, halo_rows - e_max)
+        acc_lo = _shift_rows(acc_lo, halo_rows - e_max)
+        h, l2 = _two_sum(acc_hi, acc_lo)
+        out_hi_ref[:] = h.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
+        out_lo_ref[:] = l2.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, r_out, _LANES), jnp.float32) for _ in range(2)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(2)
+    ]
+    n_member_dots = sum(len(members) for _, members in groups)
+    pairs = sum(
+        1 for s in range(KEEP) for i in range(min(s + 1, KX_PAIR)) if s - i < KM
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_coeffs
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((n_coeffs, b_tile, window_rows, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_coeffs,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * pairs * n_member_dots * _LANES * _LANES * b * r_out // _LANES,
+            bytes_accessed=b * r_out * _LANES * 4 * (n_coeffs + 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*coeffs, sigma0, *group_consts)
+    return outs[0], outs[1]
+
+
+def _exact_tiles(b: int, levels: int, halo_rows: int, n_rows: int,
+                 requested_rows: int, synthesis: bool) -> tuple[int, int]:
+    """VMEM-budget tiling for the exact kernels.
+
+    The live set is much wider than the fast kernels' (6 f32 slice windows
+    per operand, double-float hi/lo accumulators per plane, ~4 MB of sliced
+    bf16 constants), so rows are capped at 128 (the 8-row halo re-read per
+    tile costs ~6% extra input traffic, immaterial next to the 21 dot
+    passes) and the per-row work-unit estimate is widened accordingly.
+    """
+    from .modwt_mxu import _auto_tiles
+
+    n_planes = levels + 1
+    if synthesis:
+        # 2(J+1) scratch windows + 6 slices per plane + hi/lo partials
+        windows = 2 * n_planes + KX_PAIR * n_planes + 12
+    else:
+        windows = 2 + KX_PAIR + 2 * n_planes + 12
+    return _auto_tiles(b, levels, halo_rows, n_rows,
+                       min(requested_rows, 128),
+                       itemsize=4, scratch_windows=windows)
+
+
+def analysis_exact(
+    x: jnp.ndarray,
+    levels: int,
+    filters: tuple,
+    periodic: bool,
+    tile: int = 65536,
+    interpret: bool = False,
+    x_lo: jnp.ndarray | None = None,
+):
+    """[B, N] (or pair) -> tuple of (levels+1) double-float plane pairs.
+
+    Exact composite-filter analysis: each returned ``(hi, lo)`` pair carries
+    ~48 bits.  ``x_lo`` extends the input itself to double-float (used by
+    gradient/chained pipelines); plain f32 inputs are already exact.
+    """
+    b, n = x.shape
+    filter_length = len(filters[0])
+    halo_rows = _composite_halo_rows(filter_length, levels)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _exact_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES), False
+    )
+    n_pad = _round_up(n, tile_rows * _LANES)
+
+    def extend_left(arr):
+        if periodic:
+            reps = -(-halo_pad // n)
+            left = jnp.concatenate([arr] * reps, axis=-1)[..., -halo_pad:]
+        else:
+            left = jnp.zeros((b, halo_pad), dtype=arr.dtype)
+        pieces = [left, arr]
+        if n_pad != n:
+            pieces.append(jnp.zeros((b, n_pad - n), dtype=arr.dtype))
+        return _to_rows(jnp.concatenate(pieces, axis=-1))
+
+    has_lo = x_lo is not None
+    sigma0 = _sigma0_from(*( (x, x_lo) if has_lo else (x,) ))
+    outs = _exact_analysis_call(
+        extend_left(x.astype(jnp.float32)),
+        extend_left(x_lo.astype(jnp.float32)) if has_lo else None,
+        sigma0,
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        interpret=interpret,
+        has_lo=has_lo,
+    )
+    outs = tuple(_from_rows(o)[..., :n] for o in outs)
+    return tuple(
+        (outs[2 * i], outs[2 * i + 1]) for i in range(levels + 1)
+    )
+
+
+def synthesis_exact(
+    coeff_pairs,
+    levels: int,
+    filters: tuple,
+    periodic: bool,
+    tile: int = 65536,
+    interpret: bool = False,
+):
+    """Tuple of (levels+1) double-float pairs -> reconstructed (hi, lo)."""
+    b, n = coeff_pairs[0][0].shape
+    filter_length = len(filters[0])
+    halo_rows = _composite_halo_rows(filter_length, levels)
+    halo_pad = halo_rows * _LANES
+    b_tile, tile_rows = _exact_tiles(
+        b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES), True
+    )
+    n_pad = _round_up(n, tile_rows * _LANES)
+
+    def extend_right(arr):
+        if periodic:
+            reps = -(-halo_pad // n)
+            right = jnp.concatenate([arr] * reps, axis=-1)[..., :halo_pad]
+        else:
+            right = jnp.zeros((b, halo_pad), dtype=arr.dtype)
+        pieces = [arr, right]
+        if n_pad != n:
+            pieces.append(jnp.zeros((b, n_pad - n), dtype=arr.dtype))
+        return _to_rows(jnp.concatenate(pieces, axis=-1))
+
+    flat = []
+    for hi, lo in coeff_pairs:
+        flat.append(extend_right(hi.astype(jnp.float32)))
+        flat.append(extend_right(lo.astype(jnp.float32)))
+    sigma0 = _sigma0_from(*[p for pair in coeff_pairs for p in pair])
+    out_hi, out_lo = _exact_synthesis_call(
+        tuple(flat),
+        sigma0,
+        levels=levels,
+        filters=filters,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        interpret=interpret,
+    )
+    return _from_rows(out_hi)[..., :n], _from_rows(out_lo)[..., :n]
+
+
+def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False):
+    """Analysis + synthesis through the exact kernels; returns the
+    reconstructed (hi, lo) pair (combine in f64 on host to evaluate)."""
+    from .modwt_pallas import _kernel_filters
+    from ..transforms.modwt import _resolve_discrete
+
+    w = _resolve_discrete(wavelet)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    pairs = analysis_exact(
+        x, levels, _kernel_filters(w, synthesis=False), True,
+        interpret=interpret,
+    )
+    hi, lo = synthesis_exact(
+        pairs, levels, _kernel_filters(w, synthesis=True), True,
+        interpret=interpret,
+    )
+    if squeeze:
+        hi, lo = hi[0], lo[0]
+    return hi, lo

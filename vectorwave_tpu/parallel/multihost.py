@@ -161,15 +161,23 @@ def modwt_multilevel_multihost(
     levels: int,
     mesh: Mesh,
     boundary: str = "periodic",
+    backend: str = "auto",
+    precision: str | None = None,
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT of a [batch, N] block over a 2-host-axis mesh.
 
     Batch shards over ``"host"`` (no DCN traffic during the transform);
-    the signal tiles over ``"chip"`` with per-level ICI halo exchange.
+    the signal tiles over ``"chip"`` with ICI halo exchange.
     Machine-precision parity with the single-device transform for every
     boundary mode (op order inside the compiled program may differ) — the
     distributed analogue of ``BatchMODWT.multiLevelAoS`` run across a
     slice (``extensions/modwt/BatchMODWT.java:34-151``).
+
+    ``backend='auto'``: on TPU with periodic/zero boundaries the shard-local
+    cascade runs through the composite-filter MXU kernel (one cumulative
+    halo exchange, then a single external-halo kernel call — see
+    :func:`..tiled.modwt_multilevel_tiled`), so per-chip throughput matches
+    the single-chip kernel rate.
     """
     x = _place(x, mesh)
     return modwt_multilevel_tiled(
@@ -180,6 +188,8 @@ def modwt_multilevel_multihost(
         axis=CHIP_AXIS,
         boundary=boundary,
         batch_axis=HOST_AXIS,
+        backend=backend,
+        precision=precision,
     )
 
 
@@ -189,6 +199,8 @@ def imodwt_multilevel_multihost(
     *,
     mesh: Mesh,
     boundary: str = "periodic",
+    backend: str = "auto",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Inverse of :func:`modwt_multilevel_multihost`."""
     return imodwt_multilevel_tiled(
@@ -198,6 +210,8 @@ def imodwt_multilevel_multihost(
         axis=CHIP_AXIS,
         boundary=boundary,
         batch_axis=HOST_AXIS,
+        backend=backend,
+        precision=precision,
     )
 
 
@@ -226,7 +240,10 @@ def communication_report(
     Forward analysis gathers a LEFT halo of ``(L0-1)*2^(j-1)`` samples per
     level (``tiled.py`` docstring); the symmetric inverse needs two-sided
     halos, counted as 2x.  The batch-over-host axis exchanges nothing — that
-    is the point of the layout.
+    is the point of the layout.  The kernel (``backend='pallas'``) path
+    exchanges the SAME total bytes in one cumulative message per direction
+    (``sum_j (L0-1) 2^(j-1) = (L0-1)(2^J - 1)``), so this model covers both
+    backends; only the message count differs (1 vs J).
 
     Scope: exact for PERIODIC/ZERO (and the symmetric inverse's two-sided
     halos via ``direction="inverse_symmetric"``); the symmetric DEEP-halo

@@ -119,6 +119,32 @@ def _mirror_tail(x: jnp.ndarray, length: int) -> jnp.ndarray:
     return jnp.concatenate(tiles[::-1], axis=-1)[..., -length:]
 
 
+def _resolve_tiled_backend(backend: str, boundary_l: str) -> str:
+    """'auto' routes shard-local compute through the composite MXU kernel on
+    TPU for periodic/zero (the fast path — matching the reference's contract
+    that the halo'd distributed blocks run the SAME fast kernel as the
+    single-chip path, ``BatchSIMDMODWT.java:447-508``); symmetric and
+    non-TPU backends keep the exact jnp cascade."""
+    from ..kernels.modwt_pallas import pallas_available
+
+    if backend == "auto":
+        kernel_ok = boundary_l.startswith(("per", "zero"))
+        return "pallas" if (kernel_ok and pallas_available()) else "jnp"
+    if backend not in ("jnp", "pallas"):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown tiled backend {backend!r}",
+            suggestions=("Use 'auto', 'jnp' or 'pallas'",),
+        )
+    if backend == "pallas" and not boundary_l.startswith(("per", "zero")):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+            "The tiled Pallas backend serves periodic/zero boundaries",
+            suggestions=("Use backend='jnp' for symmetric tiling",),
+        )
+    return backend
+
+
 def modwt_multilevel_tiled(
     x: jnp.ndarray,
     wavelet,
@@ -128,6 +154,8 @@ def modwt_multilevel_tiled(
     axis: str = "signal",
     boundary: str = "periodic",
     batch_axis: str | None = None,
+    backend: str = "auto",
+    precision: str | None = None,
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT of a signal sharded along its LAST axis.
 
@@ -137,6 +165,16 @@ def modwt_multilevel_tiled(
     ``batch_axis`` optionally shards the FIRST axis over a second mesh axis
     (e.g. batch over a DCN "host" axis — see :mod:`.multihost`); halos only
     ever ``ppermute`` over ``axis``.
+
+    ``backend='auto'`` runs shard-local compute through the composite-filter
+    MXU kernel on TPU for periodic/zero: ONE cumulative halo of
+    ``(L0-1)(2^J-1)`` samples is exchanged per shard (instead of one
+    exchange per level) and the whole local cascade is a single
+    zero-boundary kernel call fed the neighbor slab directly (the kernel's
+    ``edge='external'`` DMA path), so per-chip throughput inside the
+    sharded transform matches the single-chip kernel rate.  Parity with the
+    single-device ``fused_analysis`` at the same ``precision`` is exact up
+    to summation order.
     """
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
@@ -153,6 +191,12 @@ def modwt_multilevel_tiled(
     high = w.dec_hi * _INV_SQRT2
     wrap = boundary_l.startswith("per")
     from_left, _ = _ring_perms(axis, mesh, wrap)
+    resolved = _resolve_tiled_backend(backend, boundary_l)
+    if resolved == "pallas":
+        return _modwt_tiled_pallas(
+            x, w, levels=levels, mesh=mesh, axis=axis, wrap=wrap,
+            batch_axis=batch_axis, precision=precision,
+        )
 
     def shard_fn(x_local):
         idx = jax.lax.axis_index(axis)
@@ -220,6 +264,130 @@ def _tile_spec(ndim: int, axis: str, batch_axis: str | None) -> P:
     return P(batch_axis, *([None] * (ndim - 2)), axis)
 
 
+def _modwt_tiled_pallas(
+    x: jnp.ndarray, w, *, levels: int, mesh: Mesh, axis: str, wrap: bool,
+    batch_axis: str | None, precision: str | None,
+) -> MultiLevelMODWTResult:
+    """Shard-local analysis through the composite MXU kernel: one cumulative
+    halo ppermute, then a single ``edge='external'`` kernel call."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_mxu import (
+        _composite_halo_rows,
+        run_analysis_composite,
+    )
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    prec = precision or get_fused_precision()
+    interpret = not pallas_available()
+    filters = _kernel_filters(w, synthesis=False)
+    # Exchange the kernel's full row-quantized halo slab (a whole number of
+    # 128-lane rows >= the (L0-1)(2^J-1) composite span): the slices and the
+    # kernel-side padding then stay block-aligned — sub-row halo slices cost
+    # more in strided DMA than the few extra columns cost on the wire.
+    span = _composite_halo_rows(w.filter_length, levels) * 128
+    from_left, _ = _ring_perms(axis, mesh, wrap)
+
+    def shard_fn(x_local):
+        lead = x_local.shape[:-1]
+        n_loc = x_local.shape[-1]
+        x2 = x_local.reshape((-1, n_loc))
+        eff_span = min(span, n_loc * mesh.shape[axis])
+        if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
+            # Slice the halo in the kernel's native [B, rows, 128] view:
+            # slicing the flat [B, N] bitcast of a buffer that ALSO feeds the
+            # pallas call makes XLA copy-insert the full planes (~0.1 ms per
+            # 32 MB plane on chip); row-view slices alias cleanly.
+            rows = x2.reshape(-1, n_loc // 128, 128)
+            send = rows[:, -(eff_span // 128):, :].reshape(-1, eff_span)
+            halo = jax.lax.ppermute(send, axis, from_left)
+        else:
+            halo = _gather_halo(x2, eff_span, axis, from_left, "left")
+        outs = run_analysis_composite(
+            x2, levels, filters, False, 65536, prec, interpret, halo=halo,
+        )
+        outs = tuple(o.reshape(lead + (n_loc,)) for o in outs)
+        return outs[:levels], outs[levels]
+
+    spec = _tile_spec(x.ndim, axis, batch_axis)
+    fn = _cached_program(
+        ("fwd-pallas", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
+         x.ndim, prec, interpret),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(tuple(spec for _ in range(levels)), spec),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        ),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, spec))
+    details, approx = fn(x)
+    return MultiLevelMODWTResult(tuple(details), approx)
+
+
+def _imodwt_tiled_pallas(
+    result: MultiLevelMODWTResult, w, *, mesh: Mesh, axis: str, wrap: bool,
+    batch_axis: str | None, precision: str | None,
+) -> jnp.ndarray:
+    """Shard-local synthesis through the composite MXU kernel: one cumulative
+    RIGHT halo ppermute per plane, then a single external-halo kernel call."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_mxu import (
+        _composite_halo_rows,
+        run_synthesis_composite,
+    )
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    prec = precision or get_fused_precision()
+    interpret = not pallas_available()
+    filters = _kernel_filters(w, synthesis=True)
+    levels = result.levels
+    # Full row-quantized slab, as in the forward path (block-aligned DMA).
+    span = _composite_halo_rows(w.filter_length, levels) * 128
+    _, from_right = _ring_perms(axis, mesh, wrap)
+
+    def shard_fn(details, approx):
+        planes = tuple(details) + (approx,)
+        lead = approx.shape[:-1]
+        n_loc = approx.shape[-1]
+        p2 = tuple(p.reshape((-1, n_loc)) for p in planes)
+        eff_span = min(span, n_loc * mesh.shape[axis])
+        if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
+            # ONE collective for all planes, sliced in the kernel's native
+            # [B, rows, 128] view — flat-view slices of pallas-call operands
+            # make XLA copy-insert the full planes (see forward path).
+            hr = eff_span // 128
+            send = jnp.stack(
+                [p.reshape(-1, n_loc // 128, 128)[:, :hr, :] for p in p2]
+            ).reshape(len(p2), -1, eff_span)
+            recv = jax.lax.ppermute(send, axis, from_right)
+            halos = tuple(recv[i] for i in range(len(p2)))
+        else:
+            halos = tuple(
+                _gather_halo(p, eff_span, axis, from_right, "right")
+                for p in p2
+            )
+        out = run_synthesis_composite(
+            p2, levels, filters, False, 65536, prec, interpret, halo=halos,
+        )
+        return out.reshape(lead + (n_loc,))
+
+    ndim = result.approx.ndim
+    spec = _tile_spec(ndim, axis, batch_axis)
+    fn = _cached_program(
+        ("inv-pallas", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
+         ndim, prec, interpret),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(tuple(spec for _ in range(levels)), spec),
+            out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        ),
+    )
+    return fn(result.details, result.approx)
+
+
 def imodwt_multilevel_tiled(
     result: MultiLevelMODWTResult,
     wavelet,
@@ -228,6 +396,8 @@ def imodwt_multilevel_tiled(
     axis: str = "signal",
     boundary: str = "periodic",
     batch_axis: str | None = None,
+    backend: str = "auto",
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Inverse of :func:`modwt_multilevel_tiled`, all three boundary modes.
 
@@ -246,6 +416,11 @@ def imodwt_multilevel_tiled(
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     wrap = boundary_l.startswith("per")
+    if _resolve_tiled_backend(backend, boundary_l) == "pallas":
+        return _imodwt_tiled_pallas(
+            result, w, mesh=mesh, axis=axis, wrap=wrap,
+            batch_axis=batch_axis, precision=precision,
+        )
     from_left, from_right = _ring_perms(axis, mesh, wrap)
     levels = result.levels
     size = mesh.shape[axis]
