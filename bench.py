@@ -4,10 +4,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Headline config (#2 of BASELINE.json): db4, 6 levels, 65536 samples, batch
 128, PERIODIC, through the composite-filter MXU kernel at the default
-precision (bf16_3x ~ 1e-5 relative).  Extras report the fast (bf16) and
-f32-exact modes, the measured HBM bandwidth, and %-of-measured-roofline
-(round trip moves 68 B/sample: x in, 7 planes out, 7 planes in, x_hat out +
-re-read of x for the RMSE check amortized away).
+precision (bf16_3x ~ 1e-5 relative).  Extras report the full precision
+ladder — fast (bf16), f32, and the EXACT tier (double-float planes +
+sliced error-free MXU dots, kernels/modwt_exact.py) whose on-chip round
+trip closes BASELINE.json's <=1e-10 parity gate — plus the measured HBM
+bandwidth and %-of-measured-roofline (round trip moves 68 B/sample: x in,
+7 planes out, 7 planes in, x_hat out + re-read of x for the RMSE check
+amortized away).
 
 vs_baseline compares against the reference's CPU SIMD extensions
 (BASELINE.md: 16K round-trip in 0.76 ms ~ 21.5 Msamples/s on a 24-core
@@ -105,22 +108,72 @@ def main() -> None:
               f"rmse {rmse:.2e}", file=sys.stderr, flush=True)
 
     if on_tpu:
-        # measured HBM bandwidth -> roofline context
+        # exact tier (double-float planes + sliced exact MXU dots): the
+        # on-chip <=1e-10 round trip (BASELINE.json parity gate), RMSE
+        # evaluated in f64 on the host against the f32-representable input
+        from vectorwave_tpu.kernels.modwt_exact import modwt_roundtrip_exact
+
+        exact_iters = 30
+
+        @jax.jit
+        def exact_chain(y):
+            def body(_, z):
+                h, _l = modwt_roundtrip_exact(z, WAVELET, levels=LEVELS)
+                return h
+            return jax.lax.fori_loop(0, exact_iters, body, y)
+
+        np.asarray(exact_chain(x)[0, :8])
+        ex_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(exact_chain(x)[0, :8])
+            ex_times.append(time.perf_counter() - t0)
+        t_exact = float(np.median(ex_times)) / exact_iters
+        hi, lo = jax.jit(
+            lambda y: modwt_roundtrip_exact(y, WAVELET, levels=LEVELS)
+        )(x)
+        err = (
+            np.asarray(hi, np.float64)
+            + np.asarray(lo, np.float64)
+            - np.asarray(x, np.float64)
+        )
+        extras["exact_msamples"] = round(BATCH * N / t_exact / 1e6, 1)
+        extras["exact_rmse"] = float(np.sqrt(np.mean(err**2)))
+        print(
+            f"bench: exact: {extras['exact_msamples']:.0f} Msamples/s "
+            f"rmse {extras['exact_rmse']:.2e} (on-chip)",
+            file=sys.stderr, flush=True,
+        )
+
+        # measured HBM bandwidth -> roofline context.  TWO independent
+        # 3-stream dependent-carry chains in one fori body: carries prevent
+        # algebraic folding of the loop, independence lets the DMA engines
+        # overlap (a single-stream copy probe under-reads achievable
+        # bandwidth by ~40% and made the fast mode report >100% of
+        # "roofline" in round 2).
         nbig = 64 * 1024 * 1024
         big = jnp.ones((nbig,), jnp.float32)
+        addend1 = jnp.full((nbig,), 0.5, jnp.float32)
+        addend2 = jnp.full((nbig,), 0.25, jnp.float32)
 
         @jax.jit
         def bw_chain(v):
-            return jax.lax.fori_loop(0, 100, lambda _, y: y * 1.0000001, v)
+            def body(_, ys):
+                a, b = ys
+                return (a + addend1) * 0.75, (b + addend2) * 0.8
 
-        np.asarray(bw_chain(big)[:4])
+            return jax.lax.fori_loop(0, 100, body, (v, v * 0.9))
+
+        np.asarray(bw_chain(big)[0][:4])
         bw_times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(bw_chain(big)[:4])
+            np.asarray(bw_chain(big)[0][:4])
             bw_times.append(time.perf_counter() - t0)
-        bw = 100 * 2 * nbig * 4 / float(np.median(bw_times)) / 1e9
+        bw = 100 * 6 * nbig * 4 / float(np.median(bw_times)) / 1e9
+        V5E_HBM_SPEC_GBPS = 819.0
         extras["measured_hbm_gbps"] = round(bw, 1)
+        extras["hbm_spec_gbps"] = V5E_HBM_SPEC_GBPS
         roofline = bw * 1e9 / ROUNDTRIP_BYTES_PER_SAMPLE / 1e6
         extras["roofline_msamples"] = round(roofline, 1)
         extras["pct_roofline_default"] = round(100 * rates["bf16_3x"] / roofline, 1)
@@ -128,10 +181,10 @@ def main() -> None:
 
         # MXU-utilization context: the default (3-pass bf16_3x) round trip is
         # COMPUTE-bound, so its ceiling is MXU peak, not the HBM roofline —
-        # reaching 90% of the memory roofline at 3 passes would need
-        # ~229 TFLOPS, above the chip's bf16 peak.  The 1-pass bf16 mode
-        # (same HBM bytes, 1/3 the dots) is the memory-bound point and
-        # exceeds the measured-roofline probe.
+        # reaching the memory roofline at 3 passes would need ~2.6x the
+        # chip's 197 TFLOPS bf16 peak at the new 12.5 Gs/s roofline.  The
+        # 1-pass bf16 mode (same HBM bytes, 1/3 the dots) is the
+        # memory-bound point of the ladder (~86% of measured roofline).
         from vectorwave_tpu.kernels.modwt_mxu import composite_macs_per_sample
 
         w = vw.wavelet(WAVELET)

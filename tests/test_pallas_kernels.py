@@ -95,15 +95,22 @@ def test_fused_bogus_boundary_rejected():
                        interpret=True)
 
 
-def test_fused_synthesis_symmetric_rejected():
+def test_fused_synthesis_unknown_boundary_rejected():
     """Round-1 fix: synthesis used to silently compute zero-extension for
-    any non-periodic boundary; it must raise like analysis does."""
+    unknown boundaries; it must raise like analysis does.  (Symmetric is a
+    SERVED mode since round 3 — kernels/modwt_symmetric.py.)"""
     x = _x32((2, 512), seed=7)
     res = vw.modwt_multilevel(x, "db4", levels=3, backend="jnp")
     with pytest.raises(vw.InvalidArgumentError):
         fused_synthesis(
-            res.details, res.approx, "db4", boundary="symmetric", interpret=True
+            res.details, res.approx, "db4", boundary="reflect", interpret=True
         )
+    xr = fused_synthesis(
+        res.details, res.approx, "db4", boundary="symmetric", interpret=True,
+        precision="float32",
+    )
+    ref = vw.imodwt_multilevel(res, "db4", boundary="symmetric", backend="jnp")
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(ref), atol=1e-5)
 
 
 @pytest.mark.parametrize("n", [1000, 97 * 64, 4097])

@@ -646,11 +646,22 @@ def _band_single(filt: np.ndarray, sign: int) -> dict[int, np.ndarray]:
     return blocks
 
 
+def _resolve_planes(filters, levels: int, planes_override) -> list[np.ndarray]:
+    """Composite per-plane filters: the standard cascade composition, or a
+    caller-supplied tuple of dense tap tuples (the symmetric tier's
+    alignment-composed two-sided filters, rebased to non-negative taps)."""
+    if planes_override is not None:
+        return [np.asarray(p, dtype=np.float64) for p in planes_override]
+    low = np.asarray(filters[0], dtype=np.float64)
+    high = np.asarray(filters[1], dtype=np.float64)
+    return composite_plane_filters(low, high, levels)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "edge", "inline_halo",
+        "interpret", "edge", "inline_halo", "planes_override",
     ),
 )
 def _composite_analysis_call(
@@ -666,6 +677,7 @@ def _composite_analysis_call(
     interpret: bool,
     edge: str = "wrap",
     inline_halo: bool = False,
+    planes_override: tuple = None,
 ):
     """Composite analysis kernel (double-buffered DMA pipeline).
 
@@ -685,9 +697,7 @@ def _composite_analysis_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    low = np.asarray(filters[0], dtype=np.float64)
-    high = np.asarray(filters[1], dtype=np.float64)
-    planes = composite_plane_filters(low, high, levels)
+    planes = _resolve_planes(filters, levels, planes_override)
     n_planes = len(planes)  # levels + 1
     plane_bands = [_band_single(p, sign=-1) for p in planes]
     all_e = sorted({e for pb in plane_bands for e in pb}, reverse=True)  # 0, -1, ...
@@ -843,7 +853,7 @@ def _composite_analysis_call(
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "edge", "inline_halo",
+        "interpret", "edge", "inline_halo", "planes_override",
     ),
 )
 def _composite_synthesis_call(
@@ -859,6 +869,7 @@ def _composite_synthesis_call(
     interpret: bool,
     edge: str = "wrap",
     inline_halo: bool = False,
+    planes_override: tuple = None,
 ):
     """Composite synthesis kernel (double-buffered DMA pipeline).
 
@@ -871,9 +882,7 @@ def _composite_synthesis_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    low = np.asarray(filters[0], dtype=np.float64)
-    high = np.asarray(filters[1], dtype=np.float64)
-    planes = composite_plane_filters(low, high, levels)
+    planes = _resolve_planes(filters, levels, planes_override)
     n_planes = len(planes)
     plane_bands = [_band_single(p, sign=+1) for p in planes]
     all_e = sorted({e for pb in plane_bands for e in pb})  # 0, 1, 2, ...

@@ -181,19 +181,17 @@ def fused_analysis(
     if squeeze:
         x = x[None, :]
     if boundary_l.startswith("sym"):
-        # Symmetric runs the cascade kernel with per-level edge mirrors.
-        # No custom VJP: the mirror breaks the analysis/synthesis transpose
-        # relation, so this path is not differentiable — use backend='jnp'
-        # for gradients through symmetric transforms.
-        from ..config import get_fused_precision
-        from .modwt_mxu import run_analysis_mxu
+        # Symmetric = composite-zero kernel body + exact jnp head splice
+        # (the cascade is causal; only the first span samples see the
+        # mirror).  Differentiable: the splice composes the zero-boundary
+        # kernel VJP with jnp autodiff.  Falls back to the pure jnp cascade
+        # for short/unaligned signals inside fused_symmetric_analysis.
+        from .modwt_symmetric import fused_symmetric_analysis
 
-        outs = run_analysis_mxu(
-            x, levels, _kernel_filters(w, synthesis=False), False, tile,
-            precision or get_fused_precision(), interpret, symmetric=True,
+        details, approx = fused_symmetric_analysis(
+            x, w, levels=levels, tile=tile, interpret=interpret,
+            precision=precision,
         )
-        details = outs[:levels]
-        approx = outs[levels]
         if squeeze:
             details = tuple(d[0] for d in details)
             approx = approx[0]
@@ -225,8 +223,9 @@ def fused_synthesis(
     interpret: bool | None = None,
     precision: str | None = None,
 ) -> jnp.ndarray:
-    """Fused J-level inverse MODWT from (details, approx); adjoint of
-    :func:`fused_analysis` (periodic / zero boundaries).  ``interpret=None``
+    """Fused J-level inverse MODWT from (details, approx): the adjoint of
+    :func:`fused_analysis` for periodic/zero, the alignment-shifted exact
+    inverse for symmetric (kernels/modwt_symmetric.py).  ``interpret=None``
     auto-selects: compiled on TPU, interpreter elsewhere."""
     from ..transforms.modwt import _resolve_discrete
 
@@ -234,19 +233,32 @@ def fused_synthesis(
         interpret = not pallas_available()
     w = _resolve_discrete(wavelet)
     boundary_l = boundary.lower()
-    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):
+    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")
+            or boundary_l.startswith("sym")):
         from ..errors import ErrorCode, InvalidArgumentError
 
         raise InvalidArgumentError(
             ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
-            "Fused Pallas synthesis supports periodic/zero boundaries",
-            suggestions=("Use imodwt_multilevel() for symmetric boundaries",),
+            f"Unknown boundary for fused synthesis: {boundary!r}",
+            suggestions=("Use 'periodic', 'zero' or 'symmetric'",),
         )
     levels = len(details)
     squeeze = approx.ndim == 1
     if squeeze:
         details = tuple(d[None, :] for d in details)
         approx = approx[None, :]
+    if boundary_l.startswith("sym"):
+        # Alignment-shifted symmetric inverse: composite kernel with the
+        # two-sided composed plane filters + jnp edge splice; custom VJP.
+        from .modwt_symmetric import fused_symmetric_synthesis
+
+        out = fused_symmetric_synthesis(
+            details, approx, w, tile=tile, interpret=interpret,
+            precision=precision,
+        )
+        if squeeze:
+            out = out[0]
+        return out
     out = _synthesis_core(
         tuple(details) + (approx,),
         levels,

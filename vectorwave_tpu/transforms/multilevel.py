@@ -137,9 +137,9 @@ def _pallas_eligible(
     synthesis: bool = False,
 ) -> bool:
     """Whether the fused Pallas path can serve this call (TPU backend, f32/bf16,
-    filter halo fits the tile budget).  Symmetric boundaries are served for
-    ANALYSIS only (cascade kernel with per-level edge mirrors); the
-    alignment-shifted symmetric inverse stays on the jnp path."""
+    filter halo fits the tile budget).  All three boundary modes are served
+    in both directions since round 3 (symmetric = composite kernel body +
+    jnp edge splice, kernels/modwt_symmetric.py)."""
     from ..config import get_backend
 
     backend = get_backend()
@@ -152,8 +152,7 @@ def _pallas_eligible(
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return False
     b = boundary.lower()
-    if not (b.startswith("per") or b.startswith("zero")
-            or (b.startswith("sym") and not synthesis)):
+    if not (b.startswith("per") or b.startswith("zero") or b.startswith("sym")):
         return False
     if levels < 2:
         return False
