@@ -231,6 +231,14 @@ def main() -> None:
         **extras,
     }
     print(json.dumps(result))
+    if on_tpu:
+        # persist for doc generation: bench_full.py renders PERF.md's
+        # roofline section from this artifact (committed per round)
+        import os
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
+            json.dump(result, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -101,6 +101,28 @@ def test_symmetric_gradients_match_jnp():
         )
 
 
+def test_symmetric_path_traces_under_jit():
+    """Regression: the edge-splice cascade once jnp-ified the filter taps,
+    staging them as tracers under an enclosing jit (omnistaging) and
+    crashing atrous_analysis_pair's host-side np.asarray (bench_full cfg3
+    failure).  The whole symmetric denoise pipeline must be jittable."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal(4096), dtype=jnp.float32)
+
+    def cfg3(z):
+        res = vw.swt(z, "sym8", levels=3, boundary="symmetric")
+        res = vw.apply_universal_threshold(res, mode="soft")
+        return vw.iswt(res, "sym8", boundary="symmetric")
+
+    vw.set_backend("pallas")
+    try:
+        out = jax.jit(cfg3)(x)
+    finally:
+        vw.set_backend("auto")
+    ref = cfg3(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_composed_plane_filters_reproduce_jnp_inverse_interior():
     """The alignment-composed two-sided plane filters ARE the symmetric
     inverse away from the edges: apply them densely in f64 and compare."""

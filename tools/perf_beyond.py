@@ -1,4 +1,4 @@
-"""On-chip latencies for the beyond-reference analysis modules.
+"""On-chip latencies for the beyond-reference analysis modules (wave 1).
 
 Measures (amortized fori chains, see bench.py's timing discipline):
   * MODWPT depth-4 roundtrip (sym8) — packets hot path
@@ -7,7 +7,9 @@ Measures (amortized fori chains, see bench.py's timing discipline):
   * extract_ridge (Viterbi scan) on a 32 x 65536 scalogram
 
 Run from a foreground shell: python tools/perf_beyond.py
-Appends nothing; prints one JSON line for PERF.md curation.
+Merges its rows into BENCH_BEYOND.json (tools/perf_beyond2.py contributes
+the second wave); bench_full.py renders PERF.md's beyond-reference table
+from that artifact.
 """
 
 from __future__ import annotations
@@ -92,6 +94,25 @@ def main() -> None:
 
     out["ridge_32sc_65536_ms"] = round(_measure(ridge_chain, mag4, iters=20), 3)
 
+    from _beyond_common import merge_rows
+
+    merge_rows(
+        [
+            {"name": "MODWPT depth-4 roundtrip, 8x16384 sym8",
+             "ms": out["modwpt4_roundtrip_8x16384_ms"],
+             "note": f"{out['modwpt4_msamples_per_s']:.0f} Msamples/s "
+                     "through 2x15 convolution stages"},
+            {"name": "wavelet_variance 1M samples, 6-level db4 + CIs",
+             "ms": out["wavelet_variance_1M_6lvl_ms"], "note": ""},
+            {"name": "wavelet_coherence morl 32 scales x 32768",
+             "ms": out["coherence_32sc_32768_ms"],
+             "note": "two CWTs + 3 smoothing fields"},
+            {"name": "extract_ridge (Viterbi) 32 scales x 65536",
+             "ms": out["ridge_32sc_65536_ms"],
+             "note": "blocked max-plus DP; the naive scan takes 258 ms (44x)"},
+        ],
+        str(dev.device_kind),
+    )
     print(json.dumps(out))
 
 

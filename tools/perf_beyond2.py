@@ -132,6 +132,79 @@ def main() -> None:
 
     out["inpaint_512_200it_ms"] = round(_measure(inpaint_chain, x9, iters=5), 3)
 
+    # 10. FISTA inpaint at 1M samples, 30% missing, 200 iterations (one
+    # solve; VERDICT r02 item 9 — the latency-shaped modules need on-chip
+    # rows at production sizes)
+    n10 = 1 << 20
+    mask10 = jnp.asarray(rng.random(n10) > 0.3, jnp.float32)
+    tt = np.arange(n10)
+    smooth = (np.sin(2 * np.pi * tt / 4096) +
+              0.4 * np.sin(2 * np.pi * tt / 512 + 1.0)).astype(np.float32)
+    x10 = jnp.asarray(smooth) * mask10
+
+    def inpaint1m_chain(z):
+        return vw.inpaint(z, mask10, "db8", steps=200) * mask10
+
+    out["inpaint_1M_200it_ms"] = round(_measure(inpaint1m_chain, x10, iters=2), 3)
+
+    # 11. packets2d best-basis denoise, 256x256 depth-3 (quadtree DP runs
+    # on HOST between device passes — wall-clock per call, no fori chain)
+    x11 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+
+    def pk2_denoise(z):
+        tree = vw.wpt2(z, "db4", 3)
+        basis = vw.best_basis2(tree, "shannon", threshold=0.5)
+        thr = jnp.float32(0.8)
+        return vw.reconstruct_basis2(
+            tree, basis, "db4",
+            transform_nodes=lambda lv, ix, p: jnp.sign(p)
+            * jnp.maximum(jnp.abs(p) - thr, 0.0),
+        )
+
+    np.asarray(pk2_denoise(x11))[:2]  # warm compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(pk2_denoise(x11))[:2]
+        times.append(time.perf_counter() - t0)
+    out["packets2d_bestbasis_denoise_256_ms"] = round(
+        float(np.median(times)) * 1e3, 3
+    )
+
+    from _beyond_common import merge_rows
+
+    merge_rows(
+        [
+            {"name": "DTCWT 1-D roundtrip 8x16384, 5 levels",
+             "ms": out["dtcwt5_roundtrip_8x16384_ms"],
+             "note": f"{out['dtcwt5_msamples_per_s']:.0f} Msamples/s, "
+                     "generated q-shift filters"},
+            {"name": "DTCWT 2-D roundtrip 512x512, 4 levels",
+             "ms": out["dtcwt2_roundtrip_512x512_ms"], "note": ""},
+            {"name": "cwt2 bank 256x256, 8 scales x 8 angles",
+             "ms": out["cwt2_8x8_256x256_ms"], "note": "complex stays on device"},
+            {"name": "scattering1d order-2, 8x16384, J=6 Q=8",
+             "ms": out["scattering1d_8x16384_ms"], "note": ""},
+            {"name": "scattering2d order-2, 128x128, J=3 L=6",
+             "ms": out["scattering2d_128x128_ms"], "note": ""},
+            {"name": "EWT roundtrip 16384, 4 bands",
+             "ms": out["ewt_roundtrip_16384_ms"], "note": "fixed boundaries"},
+            {"name": "synchrosqueeze 32 scales x 16384",
+             "ms": out["sst_32sc_16384_ms"], "note": ""},
+            {"name": "multifractal_spectrum 1M samples",
+             "ms": out["multifractal_1M_ms"],
+             "note": "wavelet leaders + WLS fits"},
+            {"name": "FISTA inpaint 512, 40% missing, 200 it",
+             "ms": out["inpaint_512_200it_ms"], "note": "one solve"},
+            {"name": "FISTA inpaint 1M, 30% missing, 200 it",
+             "ms": out["inpaint_1M_200it_ms"],
+             "note": "one solve; the 200-step FISTA loop is one lax.fori"},
+            {"name": "packets2d best-basis denoise 256x256 depth-3",
+             "ms": out["packets2d_bestbasis_denoise_256_ms"],
+             "note": "includes the HOST quadtree DP between device passes"},
+        ],
+        str(dev.device_kind),
+    )
     print(json.dumps(out))
 
 

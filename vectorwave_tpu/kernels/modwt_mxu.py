@@ -198,9 +198,15 @@ def _auto_tiles(b: int, levels: int, halo_rows: int, n_rows: int,
     budget here.
     """
     budget = 10 * 1024 * 1024
-    total_out = (levels + 1) * b * n_rows * _LANES * itemsize
-    if total_out < 14 * 1024 * 1024:
-        budget = max(2 * 1024 * 1024, budget - total_out)
+    per_plane = b * n_rows * _LANES * itemsize
+    total_out = (levels + 1) * per_plane
+    if per_plane < 5 * 1024 * 1024:
+        # XLA stashes small result buffers on the VMEM stack PER PLANE
+        # (observed S(1) layouts up to ~4 MB each, even when the total is
+        # large — a 10-plane 1M-sample analysis OOM'd the 16 MB scoped
+        # limit), so reserve whenever planes are individually small.
+        budget = max(2 * 1024 * 1024,
+                     budget - min(total_out, 6 * 1024 * 1024))
     tile_rows = max(8, min(_round_up(requested_rows, 8), _round_up(n_rows, 8)))
     tile_rows = max(tile_rows, _round_up(halo_rows, 8))
     min_rows = max(8, _round_up(halo_rows, 8))

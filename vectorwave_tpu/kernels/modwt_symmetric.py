@@ -210,8 +210,11 @@ def _symsyn_adjoint_kernel(g_cot, dense, g: int, d_max: int, levels: int,
 def _jnp_symmetric_cascade(x, w, levels):
     from ..ops.convolve import atrous_analysis_pair
 
-    low = jnp.asarray(w.dec_lo * _INV_SQRT2, x.dtype)
-    high = jnp.asarray(w.dec_hi * _INV_SQRT2, x.dtype)
+    # keep filters HOST-side numpy: a jnp.asarray here would stage a
+    # convert_element_type under an enclosing jit trace (omnistaging) and
+    # hand atrous_analysis_pair a tracer it must np.asarray
+    low = (np.asarray(w.dec_lo, np.float64) * _INV_SQRT2).astype(x.dtype)
+    high = (np.asarray(w.dec_hi, np.float64) * _INV_SQRT2).astype(x.dtype)
     cur = x
     details = []
     for j in range(1, levels + 1):
