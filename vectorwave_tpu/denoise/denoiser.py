@@ -95,11 +95,65 @@ def denoise_multilevel(
     boundary: str = "periodic",
 ) -> jnp.ndarray:
     """Multi-level denoise with level-dependent thresholds
-    (``denoiseMultiLevel`` :155-171)."""
+    (``denoiseMultiLevel`` :155-171).
+
+    For sigma-only threshold rules (universal/minimax) on periodic/zero
+    boundaries the whole pipeline runs as ONE fused kernel — the
+    coefficient planes never touch HBM (8 B/sample of traffic instead of
+    68; see tools/probe_write_wall.py for why that matters).  Sigma still
+    comes from the exact MAD of the finest detail via a cheap single-level
+    analysis.  Data-dependent rules (SURE/Bayes) and gradients take the
+    materializing path.
+    """
+    fused = _try_fused_denoise(x, wavelet, levels, method, mode, boundary)
+    if fused is not None:
+        return fused
     res = modwt_multilevel(x, wavelet, levels=levels, boundary=boundary)
     sigma = mad_sigma(res.details[0])  # finest scale estimates the noise floor
     denoised = threshold_coeffs(res, sigma, method=method, mode=mode)
     return imodwt_multilevel(denoised, wavelet, boundary=boundary)
+
+
+def _try_fused_denoise(x, wavelet, levels, method, mode, boundary):
+    """Route sigma-only denoise rules through the one-pass fused kernel
+    (kernels/modwt_mxu.run_denoise_composite); None = take the 3-call path."""
+    from ..ops.thresholds import minimax_threshold, universal_threshold
+    from ..transforms.multilevel import _pallas_eligible, _resolve_backend
+    from ..transforms.modwt import _resolve_discrete
+
+    if method not in ("universal", "minimax") or mode not in ("soft", "hard"):
+        return None
+    w = _resolve_discrete(wavelet)
+    n = x.shape[-1]
+    if levels is None:
+        from ..transforms.multilevel import max_levels
+
+        levels = max_levels(n, w)
+    if levels < 2:
+        return None
+    if not _resolve_backend(
+        None, lambda: _pallas_eligible(x, w, levels, boundary)
+    ):
+        return None
+    from ..kernels.modwt_pallas import fused_denoise_multilevel
+
+    # exact noise floor from the finest detail (single-level analysis is
+    # ~4 B/sample of extra traffic)
+    d1 = modwt(x, w, boundary=boundary).detail
+    sigma = mad_sigma(d1)  # [..., 1]
+    rule = universal_threshold if method == "universal" else minimax_threshold
+    ths = jnp.concatenate(
+        [
+            jnp.asarray(
+                rule(n, sigma / jnp.sqrt(2.0 ** level)), dtype=jnp.float32
+            )
+            for level in range(1, levels + 1)
+        ],
+        axis=-1,
+    )  # [..., levels]
+    return fused_denoise_multilevel(
+        x, w, levels=levels, thresholds=ths, boundary=boundary, mode=mode
+    )
 
 
 def denoise_block(

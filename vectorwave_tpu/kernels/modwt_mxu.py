@@ -1219,3 +1219,256 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
         inline_halo=False,
     )
     return _from_rows(out)[..., :n]
+
+
+# ---------------------------------------------------------------------------
+# Fused denoise: analysis -> threshold -> synthesis in ONE kernel pass.
+# The separate-call round trip writes J+1 coefficient planes to HBM and
+# reads them back (68 B/sample); when the planes are not a user-visible
+# result that traffic is pure waste — and tools/probe_write_wall.py shows
+# the plane write-back pattern is exactly where the round trip loses its
+# last ~20% of MXU peak.  Here the planes live only in VMEM per grid step,
+# so HBM traffic drops to x in + x_hat out (8 B/sample) and the kernel is
+# purely compute-bound.  (Reference analogue: denoiseMultiLevel,
+# WaveletDenoiser.java:155-171 — which materializes every level.)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "filters_dec", "filters_rec", "b_tile", "tile_rows",
+        "halo_rows", "mode", "precision", "interpret", "zero_tail",
+    ),
+)
+def _composite_denoise_call(
+    x: jnp.ndarray,  # [B, R_total, 128]; halo_rows prepended AND appended
+    thresholds: jnp.ndarray,  # [B, levels] f32, per (signal, level)
+    *,
+    levels: int,
+    filters_dec: tuple,
+    filters_rec: tuple,
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,
+    mode: str,
+    precision: str,
+    interpret: bool,
+    zero_tail: bool = False,
+):
+    """One-pass denoise kernel (double-buffered input DMA).
+
+    Window layout: ``[left analysis halo | tile | right synthesis halo]``
+    (``halo_rows`` each side).  Analysis plane rows >= halo_rows are valid;
+    synthesis output row g (window coords, g in [H, T+H)) reads plane rows
+    g..g+e_max <= T+2H-1, all valid.  With the positive-shift roll trick
+    (``acc[r] = out[r - e_max]``) the output tile is
+    ``shift(acc, H - e_max)[2H : T+2H)`` — an 8-row-aligned slice.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_planes = levels + 1
+    planes_a = _resolve_planes(filters_dec, levels, None)
+    planes_s = _resolve_planes(filters_rec, levels, None)
+    bands_a = [_band_single(p, sign=-1) for p in planes_a]
+    bands_s = [_band_single(p, sign=+1) for p in planes_s]
+    groups_a = []
+    for e in sorted({e for pb in bands_a for e in pb}, reverse=True):
+        members = [pi for pi in range(n_planes) if e in bands_a[pi]]
+        m_cat = np.concatenate([bands_a[pi][e] for pi in members], axis=1)
+        groups_a.append((-e, members, m_cat))
+    all_es = sorted({e for pb in bands_s for e in pb})
+    e_max = all_es[-1]
+    groups_s = []
+    for e in all_es:
+        members = [pi for pi in range(n_planes) if e in bands_s[pi]]
+        m_cat = np.concatenate([bands_s[pi][e] for pi in members], axis=0)
+        groups_s.append((e_max - e, members, m_cat))
+
+    b, r_total, _ = x.shape
+    window_rows = tile_rows + 2 * halo_rows
+    r_out = r_total - 2 * halo_rows
+    num_t = r_out // tile_rows
+    grid = (b // b_tile, num_t)
+    total_steps = (b // b_tile) * num_t
+    dtype = x.dtype
+    group_consts: list[jnp.ndarray] = []
+    for _, _, m in groups_a:
+        group_consts.extend(_const_terms(m, precision))
+    for _, _, m in groups_s:
+        group_consts.extend(_const_terms(m, precision))
+    cpg = len(group_consts) // (len(groups_a) + len(groups_s))
+
+    def kernel(x_hbm, th_ref, *rest):
+        g_refs = rest[: len(group_consts)]
+        out_ref = rest[len(group_consts)]
+        scratch, sems = rest[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        li = bi * num_t + t
+
+        def window_dma(bi2, t2, slot, phase):
+            c = pltpu.make_async_copy(
+                x_hbm.at[
+                    pl.ds(bi2 * b_tile, b_tile),
+                    pl.ds(t2 * tile_rows, window_rows),
+                    :,
+                ],
+                scratch.at[slot],
+                sems.at[slot],
+            )
+            c.start() if phase == 0 else c.wait()
+
+        @pl.when(li == 0)
+        def _prologue():
+            window_dma(bi, t, 0, phase=0)
+
+        window_dma(bi, t, li % 2, phase=1)
+
+        if total_steps > 1:
+            @pl.when(li + 1 < total_steps)
+            def _prefetch():
+                li1 = li + 1
+                window_dma(li1 // num_t, li1 % num_t, li1 % 2, phase=0)
+
+        flat = scratch[li % 2].reshape(b_tile * window_rows, _LANES)
+        accs = [None] * n_planes
+        for gi, (shift, members, _) in enumerate(groups_a):
+            view = _shift_rows(flat, shift)
+            outd = _dot_prepped(view, g_refs[gi * cpg : (gi + 1) * cpg], precision)
+            for slot_i, pi in enumerate(members):
+                piece = outd[:, slot_i * _LANES : (slot_i + 1) * _LANES]
+                accs[pi] = piece if accs[pi] is None else accs[pi] + piece
+        # threshold the detail planes in VMEM (approx passes through);
+        # garbage halo rows shrink to garbage, synthesis never reads them.
+        # (thresholds ride as ONE whole-array lane-broadcast block — tiny —
+        # because a (b_tile, levels) block violates Mosaic's (8,128)
+        # divisibility and a (1,1,1)->(1,R,128) splat is an unimplemented
+        # both-axes broadcast; lane-complete rows keep it sublane-only)
+        shrunk = []
+        for pi in range(levels):
+            d3 = accs[pi].reshape(b_tile, window_rows, _LANES)
+            tj = th_ref[pl.ds(bi * b_tile, b_tile), pi, :].reshape(
+                b_tile, 1, _LANES
+            )
+            if mode == "soft":
+                d3 = jnp.sign(d3) * jnp.maximum(jnp.abs(d3) - tj, 0.0)
+            else:
+                d3 = jnp.where(jnp.abs(d3) > tj, d3, jnp.zeros_like(d3))
+            shrunk.append(d3.reshape(b_tile * window_rows, _LANES))
+        shrunk.append(accs[levels])
+        if zero_tail:
+            # ZERO boundary: the inverse zero-extends the COEFFICIENTS, but
+            # the tail halo holds the analysis of zero-extended x (nonzero)
+            # — mask plane rows beyond n in the last tile before synthesis
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (window_rows, _LANES), 0
+            )
+            keep = jnp.logical_or(
+                t != num_t - 1, rows < tile_rows + halo_rows
+            ).astype(jnp.float32)
+            keep = jnp.tile(keep, (b_tile, 1))
+            shrunk = [p * keep for p in shrunk]
+        acc = None
+        off = len(groups_a)
+        for gj, (shift, members, _) in enumerate(groups_s):
+            views = [_shift_rows(shrunk[pi], shift) for pi in members]
+            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
+            term = _dot_prepped(
+                cat, g_refs[(off + gj) * cpg : (off + gj + 1) * cpg], precision
+            )
+            acc = term if acc is None else acc + term
+        acc = _shift_rows(acc.astype(dtype), halo_rows - e_max)
+        out_ref[:] = acc.reshape(b_tile, window_rows, _LANES)[
+            :, 2 * halo_rows :, :
+        ]
+
+    macs = (
+        sum(m.shape[1] for _, _, m in groups_a)
+        + sum(m.shape[0] for _, _, m in groups_s)
+    ) * _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (b, levels, _LANES), lambda bi, t: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
+        out_specs=pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r_out, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * macs * b * r_out,
+            bytes_accessed=b * r_out * _LANES * 2 * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, thresholds, *group_consts)
+    return out
+
+
+def run_denoise_composite(
+    x: jnp.ndarray,  # [B, N]
+    thresholds: jnp.ndarray,  # [B, levels]
+    levels: int,
+    filters_dec: tuple,
+    filters_rec: tuple,
+    periodic: bool,
+    tile: int,
+    mode: str,
+    precision: str,
+    interpret: bool,
+):
+    """[B, N] fused analysis->threshold->synthesis; returns None when the
+    shape cannot be served (caller falls back to the 3-call path)."""
+    b, n = x.shape
+    span = max(
+        composite_halo_samples(len(filters_dec[0]), levels),
+        composite_halo_samples(len(filters_rec[0]), levels),
+    )
+    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, 2 * halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        x.dtype.itemsize,
+        scratch_windows=2 * (levels + 2),
+    )
+    if n % (tile_rows * _LANES) != 0 or n < span:
+        return None
+    rows = _to_rows(x)
+    if periodic:
+        left = rows[:, -halo_rows:, :]
+        right = rows[:, :halo_rows, :]
+    else:
+        left = jnp.zeros((b, halo_rows, _LANES), x.dtype)
+        right = left
+    ext = jnp.concatenate([left, rows, right], axis=1)
+    th_lanes = jnp.broadcast_to(
+        thresholds.astype(jnp.float32)[:, :, None], (b, levels, _LANES)
+    )
+    out = _composite_denoise_call(
+        ext,
+        th_lanes,
+        levels=levels,
+        filters_dec=filters_dec,
+        filters_rec=filters_rec,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        mode=mode,
+        precision=precision,
+        interpret=interpret,
+        zero_tail=not periodic,
+    )
+    return _from_rows(out)

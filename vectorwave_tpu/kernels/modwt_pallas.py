@@ -271,3 +271,59 @@ def fused_synthesis(
     if squeeze:
         out = out[0]
     return out
+
+
+def fused_denoise_multilevel(
+    x: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int,
+    thresholds: jnp.ndarray,  # [..., levels] per (signal, level)
+    boundary: str = "periodic",
+    mode: str = "soft",
+    tile: int = 65536,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray | None:
+    """One-kernel denoise: analysis -> per-level threshold -> synthesis
+    with the coefficient planes living only in VMEM (8 B/sample of HBM
+    traffic instead of the separate-call path's 68).
+
+    Returns None when the shape cannot be served (caller falls back to the
+    3-call path).  Periodic/zero boundaries; not differentiable (use the
+    jnp path for gradients).  Reference semantics:
+    ``WaveletDenoiser.denoiseMultiLevel`` (WaveletDenoiser.java:155-171).
+    """
+    from ..config import get_fused_precision
+    from ..transforms.modwt import _resolve_discrete
+    from .modwt_mxu import run_denoise_composite
+
+    if interpret is None:
+        interpret = not pallas_available()
+    boundary_l = boundary.lower()
+    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):
+        return None
+    w = _resolve_discrete(wavelet)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+        thresholds = thresholds[None, :]
+    b_shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    th2 = thresholds.reshape(-1, thresholds.shape[-1])
+    out = run_denoise_composite(
+        x2,
+        th2,
+        levels,
+        _kernel_filters(w, synthesis=False),
+        _kernel_filters(w, synthesis=True),
+        boundary_l.startswith("per"),
+        tile,
+        mode,
+        precision or get_fused_precision(),
+        interpret,
+    )
+    if out is None:
+        return None
+    out = out.reshape(b_shape + (out.shape[-1],))
+    return out[0] if squeeze else out
