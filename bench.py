@@ -199,6 +199,20 @@ def main() -> None:
         )
 
     if on_tpu:
+        # fused one-pass denoise (analysis -> threshold -> synthesis in
+        # VMEM, kernels/modwt_mxu._composite_denoise_call): the production
+        # denoise rate at the headline shape
+        def dn(y):
+            return vw.denoise_multilevel(
+                y, WAVELET, levels=LEVELS, method="universal", mode="soft"
+            )
+
+        t_dn = _measure(dn, x, iters=50)
+        extras["denoise_fused_msamples"] = round(BATCH * N / t_dn / 1e6, 1)
+        print(f"bench: fused denoise: {extras['denoise_fused_msamples']:.0f} "
+              "Msamples/s", file=sys.stderr, flush=True)
+
+    if on_tpu:
         # f64 bit-parity evidence (BASELINE.json's <=1e-10 gate): the jnp
         # path in float64 on the host CPU backend (TPUs have no f64 units)
         try:
