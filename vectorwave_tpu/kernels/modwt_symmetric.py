@@ -131,6 +131,21 @@ def _ext_rows(x2: jnp.ndarray, left: int, total: int) -> jnp.ndarray:
     return _to_rows(jnp.concatenate(pieces, axis=-1))
 
 
+def _snug_tile_rows(rows_needed: int, tile_max: int) -> int:
+    """Largest 8-aligned tile <= tile_max minimizing the round-up waste of
+    ``rows_needed`` (the g-shifted symmetric operand is NOT a power of two;
+    naive 512-row tiles round 64K+g up to 128K — 2x the kernel work)."""
+    rows8 = _round_up(rows_needed, 8)
+    best_tr, best_waste = tile_max, _round_up(rows8, tile_max) - rows8
+    tr = tile_max
+    while tr >= 8 and best_waste:
+        waste = _round_up(rows8, tr) - rows8
+        if waste < best_waste:
+            best_tr, best_waste = tr, waste
+        tr -= 8
+    return best_tr
+
+
 def _symsyn_kernel(planes2d, dense, g: int, d_max: int, levels: int,
                    precision: str, interpret: bool):
     """Zero-boundary synthesis with the rebased two-sided plane filters:
@@ -139,10 +154,12 @@ def _symsyn_kernel(planes2d, dense, g: int, d_max: int, levels: int,
     tau_max = d_max + g
     halo_rows = _round_up(max(-(-tau_max // _LANES), 1), 8)
     halo_pad = halo_rows * _LANES
+    rows_needed = -(-(g + n) // _LANES)
     b_tile, tile_rows = _auto_tiles(
-        b, levels, halo_rows, -(-(g + n) // _LANES), 512,
+        b, levels, halo_rows, rows_needed, _round_up(rows_needed, 8),
         itemsize=4, scratch_windows=2 * (levels + 2),
     )
+    tile_rows = _snug_tile_rows(rows_needed, tile_rows)
     n_pad = _round_up(g + n, tile_rows * _LANES)
     ext = tuple(
         _ext_rows(p, g, n_pad + halo_pad) for p in planes2d
@@ -173,10 +190,12 @@ def _symsyn_adjoint_kernel(g_cot, dense, g: int, d_max: int, levels: int,
     tau_max = d_max + g
     halo_rows = _round_up(max(-(-tau_max // _LANES), 1), 8)
     halo_pad = halo_rows * _LANES
+    rows_needed = -(-(n + 2 * g) // _LANES)
     b_tile, tile_rows = _auto_tiles(
-        b, levels, halo_rows, -(-(n + 2 * g) // _LANES), 512,
+        b, levels, halo_rows, rows_needed, _round_up(rows_needed, 8),
         itemsize=4, scratch_windows=2,
     )
+    tile_rows = _snug_tile_rows(rows_needed, tile_rows)
     n_pad = _round_up(n + 2 * g, tile_rows * _LANES)
     # Adjoint of out[t] = sum_tau f'_p[tau] plane_p[t + tau - G]:
     #   grad_p[q] = sum_tau f'_p[tau] cot[q + G - tau] = out_a[q + 2G]
