@@ -133,6 +133,14 @@ def modwt2_multilevel(
     w = _resolve_discrete(wavelet)
     n_min = min(x.shape[-1], x.shape[-2])
     _check_level_fits(w, levels, n_min)
+    if _fast2_eligible(x, levels, boundary):
+        from ..config import get_fused_precision
+        from ..kernels.modwt2_mxu import modwt2_multilevel_fast
+
+        details, ll = modwt2_multilevel_fast(
+            x, w, levels, boundary, get_fused_precision()
+        )
+        return MultiLevelMODWT2Result(details, ll)
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
     details = []
@@ -143,6 +151,22 @@ def modwt2_multilevel(
         details.append((res.lh, res.hl, res.hh))
         cur = res.ll
     return MultiLevelMODWT2Result(tuple(details), cur)
+
+
+def _fast2_eligible(x, levels: int, boundary: str) -> bool:
+    """Route the separable pyramid through the banded-MXU-matmul composite
+    path (kernels/modwt2_mxu.py) on the TPU backend; ``set_backend('jnp')``
+    forces the portable per-level à trous path."""
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+    from ..kernels.modwt2_mxu import modwt2_eligible
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    if backend != "pallas" and not pallas_available():
+        return False
+    return modwt2_eligible(x, levels, boundary)
 
 
 def _inv_axis(a, d, low, high, spacing, boundary_l, w, level):
@@ -175,6 +199,14 @@ def imodwt2_multilevel(
     boundary: str = "periodic",
 ) -> jnp.ndarray:
     w = _resolve_discrete(wavelet)
+    if _fast2_eligible(result.approx, result.levels, boundary):
+        from ..config import get_fused_precision
+        from ..kernels.modwt2_mxu import imodwt2_multilevel_fast
+
+        return imodwt2_multilevel_fast(
+            result.details, result.approx, w, boundary,
+            get_fused_precision(),
+        )
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     boundary_l = boundary.lower()
