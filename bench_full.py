@@ -184,6 +184,14 @@ def measure_all() -> dict:
         res = vw.cwt(x, sc, "morl", boundary="periodic")
         return 1e-3 * res.coeffs.sum(axis=-2).astype(x.dtype) + x
 
+    def sym_roundtrip(x):  # symmetric kernel tier, both directions
+        res = vw.modwt_multilevel(x, "db4", levels=6, boundary="symmetric")
+        return vw.imodwt_multilevel(res, "db4", boundary="symmetric")
+
+    def fused_denoise_row(x):  # one-pass kernel (planes stay in VMEM)
+        return vw.denoise_multilevel(x, "db4", levels=6, method="universal",
+                                     mode="soft")
+
     baseline_rows = []
     for name, fn, x0, iters, samples in (
         ("cfg3 SWT sym8 4-level symmetric denoise 16K", swt_denoise_cfg3,
@@ -192,6 +200,10 @@ def measure_all() -> dict:
          sig(16384, 256), 150, 256 * 16384),
         ("cfg5 CWT morl 64-scale 1M samples", cwt_cfg5, sig(1 << 20), 20,
          None),
+        ("symmetric kernel-tier roundtrip 128x64K db4 6-level",
+         sym_roundtrip, sig(65536, 128), 50, 128 * 65536),
+        ("fused one-pass denoise 128x64K db4 6-level universal-soft",
+         fused_denoise_row, sig(65536, 128), 50, 128 * 65536),
     ):
         try:
             ms = _measure_ms(fn, x0, iters, rb1)

@@ -114,6 +114,78 @@ def test_public_api_routes_and_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_fused_denoise_gradients_match_jnp_path():
+    """jax.grad through the fused kernel (custom VJP: recompute-based
+    adjoints via the composite kernels) must match the jnp 3-call path,
+    for both x and the thresholds — including the threshold's own
+    dependence on x through the sort-free median's custom JVP."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    n, levels = 2048, 3
+
+    def loss_fused(y):
+        res = vw.modwt_multilevel(y, "db4", levels=levels, backend="jnp")
+        ths = _thresholds(res, n, levels)
+        out = fused_denoise_multilevel(
+            y, "db4", levels=levels, thresholds=ths, mode="soft",
+            interpret=True, precision="float32",
+        )
+        w_ = jnp.arange(n, dtype=jnp.float32)
+        return jnp.sum(out**2 * w_)
+
+    def loss_jnp(y):
+        res = vw.modwt_multilevel(y, "db4", levels=levels, backend="jnp")
+        ths = _thresholds(res, n, levels)
+        nd = tuple(
+            apply_threshold(d, ths[..., j:j + 1], "soft")
+            for j, d in enumerate(res.details)
+        )
+        out = vw.imodwt_multilevel(
+            MultiLevelMODWTResult(nd, res.approx), "db4", backend="jnp"
+        )
+        w_ = jnp.arange(n, dtype=jnp.float32)
+        return jnp.sum(out**2 * w_)
+
+    gf = jax.grad(loss_fused)(x)
+    gj = jax.grad(loss_jnp)(x)
+    scale = float(jnp.max(jnp.abs(gj)))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gj),
+                               atol=3e-6 * scale)
+
+
+def test_public_denoise_grad_end_to_end():
+    """jax.grad(denoise_multilevel) works with the fused routing forced on
+    (the round-2 API guarantee 'every transform is differentiable')."""
+    import jax
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal(2048), jnp.float32)
+
+    def loss(y):
+        return jnp.sum(
+            vw.denoise_multilevel(y, "db4", levels=3, method="universal",
+                                  mode="soft") ** 2
+        )
+
+    vw.set_backend("pallas")
+    vw.set_fused_precision("float32")
+    try:
+        gk = jax.grad(loss)(x)
+    finally:
+        vw.set_backend("auto")
+        vw.set_fused_precision("bf16_3x")
+    vw.set_backend("jnp")
+    try:
+        gj = jax.grad(loss)(x)
+    finally:
+        vw.set_backend("auto")
+    scale = float(jnp.max(jnp.abs(gj)))
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gj),
+                               atol=5e-6 * scale)
+
+
 def test_median_magnitude_matches_jnp_median_bitexact():
     """The sort-free bitwise order-statistic median must equal jnp.median
     of |v| exactly (it feeds mad_sigma, hence every denoise threshold)."""

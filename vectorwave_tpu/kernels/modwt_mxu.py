@@ -1419,6 +1419,28 @@ def _composite_denoise_call(
     return out
 
 
+def denoise_composite_tiles(
+    b: int, n: int, levels: int, filters_dec: tuple, filters_rec: tuple,
+    tile: int, itemsize: int = 4,
+):
+    """(span, halo_rows, b_tile, tile_rows) for the fused denoise kernel,
+    or None when the shape cannot be served (pure shape math — the caller
+    probes eligibility with this BEFORE entering the custom-vjp core)."""
+    span = max(
+        composite_halo_samples(len(filters_dec[0]), levels),
+        composite_halo_samples(len(filters_rec[0]), levels),
+    )
+    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    b_tile, tile_rows = _auto_tiles(
+        b, levels, 2 * halo_rows, -(-n // _LANES), max(1, tile // _LANES),
+        itemsize,
+        scratch_windows=2 * (levels + 2),
+    )
+    if n % (tile_rows * _LANES) != 0 or n < span:
+        return None
+    return span, halo_rows, b_tile, tile_rows
+
+
 def run_denoise_composite(
     x: jnp.ndarray,  # [B, N]
     thresholds: jnp.ndarray,  # [B, levels]
@@ -1434,18 +1456,12 @@ def run_denoise_composite(
     """[B, N] fused analysis->threshold->synthesis; returns None when the
     shape cannot be served (caller falls back to the 3-call path)."""
     b, n = x.shape
-    span = max(
-        composite_halo_samples(len(filters_dec[0]), levels),
-        composite_halo_samples(len(filters_rec[0]), levels),
+    tiles = denoise_composite_tiles(
+        b, n, levels, filters_dec, filters_rec, tile, x.dtype.itemsize
     )
-    halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
-    b_tile, tile_rows = _auto_tiles(
-        b, levels, 2 * halo_rows, -(-n // _LANES), max(1, tile // _LANES),
-        x.dtype.itemsize,
-        scratch_windows=2 * (levels + 2),
-    )
-    if n % (tile_rows * _LANES) != 0 or n < span:
+    if tiles is None:
         return None
+    span, halo_rows, b_tile, tile_rows = tiles
     rows = _to_rows(x)
     if periodic:
         left = rows[:, -halo_rows:, :]

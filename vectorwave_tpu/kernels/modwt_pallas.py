@@ -311,19 +311,95 @@ def fused_denoise_multilevel(
     b_shape = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
     th2 = thresholds.reshape(-1, thresholds.shape[-1])
-    out = run_denoise_composite(
-        x2,
-        th2,
-        levels,
-        _kernel_filters(w, synthesis=False),
-        _kernel_filters(w, synthesis=True),
-        boundary_l.startswith("per"),
-        tile,
-        mode,
-        precision or get_fused_precision(),
-        interpret,
-    )
-    if out is None:
+    filters_dec = _kernel_filters(w, synthesis=False)
+    filters_rec = _kernel_filters(w, synthesis=True)
+    periodic = boundary_l.startswith("per")
+    prec = precision or get_fused_precision()
+    # eligibility is pure shape math — probe it BEFORE entering the
+    # custom-vjp core (which cannot conditionally return None)
+    from .modwt_mxu import denoise_composite_tiles
+
+    if denoise_composite_tiles(
+        x2.shape[0], x2.shape[1], levels, filters_dec, filters_rec, tile,
+        jnp.dtype(x2.dtype).itemsize,
+    ) is None:
         return None
+    out = _fused_denoise_core(
+        x2, th2, levels, filters_dec, filters_rec, periodic, tile, mode,
+        prec, interpret,
+    )
     out = out.reshape(b_shape + (out.shape[-1],))
     return out[0] if squeeze else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _fused_denoise_core(x2, th2, levels, filters_dec, filters_rec, periodic,
+                        tile, mode, precision, interpret):
+    from .modwt_mxu import run_denoise_composite
+
+    out = run_denoise_composite(
+        x2, th2, levels, filters_dec, filters_rec, periodic, tile, mode,
+        precision, interpret,
+    )
+    assert out is not None  # eligibility probed by the caller
+    return out
+
+
+def _fused_denoise_fwd(x2, th2, levels, filters_dec, filters_rec, periodic,
+                       tile, mode, precision, interpret):
+    out = _fused_denoise_core(
+        x2, th2, levels, filters_dec, filters_rec, periodic, tile, mode,
+        precision, interpret,
+    )
+    return out, (x2, th2)
+
+
+def _fused_denoise_bwd(levels, filters_dec, filters_rec, periodic, tile,
+                       mode, precision, interpret, res, g):
+    """Recompute-based adjoint: dx = A^T(mask ⊙ S^T g) via the existing
+    composite kernels — S^T is the ANALYSIS kernel with the rec-filter
+    composites (backward reads), A^T the SYNTHESIS kernel with the
+    dec-filter composites (forward reads); the shrinkage mask comes from
+    re-running the analysis.  d/dthreshold: soft = -Σ sign(d)·mask·(S^T g)
+    per level, hard = 0 a.e."""
+    from .modwt_mxu import run_analysis_composite, run_synthesis_composite
+
+    x2, th2 = res
+    d_planes = run_analysis_composite(
+        x2, levels, filters_dec, periodic, tile,
+        precision, interpret,
+    )
+    gs = run_analysis_composite(
+        g, levels, filters_rec, periodic, tile,
+        precision, interpret,
+    )
+    masks = [
+        jnp.abs(d_planes[j]) > th2[..., j : j + 1] for j in range(levels)
+    ]
+    gd = tuple(
+        jnp.where(masks[j], gs[j], jnp.zeros_like(gs[j]))
+        for j in range(levels)
+    ) + (gs[levels],)
+    dx = run_synthesis_composite(
+        gd, levels, filters_dec, periodic, tile,
+        precision, interpret,
+    )
+    if mode == "soft":
+        dth = jnp.concatenate(
+            [
+                jnp.sum(
+                    jnp.where(
+                        masks[j], -jnp.sign(d_planes[j]) * gs[j], 0.0
+                    ),
+                    axis=-1, keepdims=True,
+                )
+                for j in range(levels)
+            ],
+            axis=-1,
+        ).astype(th2.dtype)
+    else:
+        dth = jnp.zeros_like(th2)
+    return dx, dth
+
+
+_fused_denoise_core.defvjp(_fused_denoise_fwd, _fused_denoise_bwd)

@@ -48,19 +48,8 @@ def apply_threshold(coeffs: jnp.ndarray, threshold, mode: str = "soft") -> jnp.n
     )
 
 
-def median_magnitude(v: jnp.ndarray) -> jnp.ndarray:
-    """Exact median of ``|v|`` along the last axis, without a sort.
-
-    ``jnp.median`` lowers to a full per-signal SORT — ~13 ms for 128x64K on
-    a v5e chip, dwarfing the denoise transform itself.  Non-negative f32
-    values order-match their int32 bit patterns, so the k-th order
-    statistic is a 31-step binary search on the bit pattern: build the
-    answer MSB->LSB, keeping a candidate bit iff fewer than k elements are
-    strictly below the candidate.  Both middle order stats (even n) ride
-    the same counting passes.  O(31 n) compares streaming from HBM beats
-    O(n log n) sort by ~6x at 64K signals and matches ``jnp.median``
-    bit-for-bit (guarded in tests).
-    """
+def _middle_order_stats(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., R] middle order statistic(s) of |v| (R = 2 for even n)."""
     import jax
 
     mag = jnp.abs(v)
@@ -86,8 +75,57 @@ def median_magnitude(v: jnp.ndarray) -> jnp.ndarray:
         return jnp.where(keep, trial, cand)
 
     cand = jax.lax.fori_loop(0, 31, body, cand0)
-    vals = jax.lax.bitcast_convert_type(cand, jnp.float32)
+    return jax.lax.bitcast_convert_type(cand, jnp.float32)
+
+
+def median_magnitude(v: jnp.ndarray) -> jnp.ndarray:
+    """Exact median of ``|v|`` along the last axis, without a sort.
+
+    ``jnp.median`` lowers to a full per-signal SORT — ~13 ms for 128x64K on
+    a v5e chip, dwarfing the denoise transform itself.  Non-negative f32
+    values order-match their int32 bit patterns, so the k-th order
+    statistic is a 31-step binary search on the bit pattern: build the
+    answer MSB->LSB, keeping a candidate bit iff fewer than k elements are
+    strictly below the candidate.  Both middle order stats (even n) ride
+    the same counting passes.  O(31 n) compares streaming from HBM beats
+    O(n log n) sort by ~6x at 64K signals and matches ``jnp.median``
+    bit-for-bit (guarded in tests).
+
+    Differentiable via a custom JVP (the bit search itself has no
+    derivative): the exact subgradient routes through the positions that
+    attain the middle order statistics, matching ``jnp.median``'s
+    piecewise-linear behavior (averaged over ties).
+    """
+    return _median_magnitude_jvp(v)
+
+
+import jax as _jax
+
+
+@_jax.custom_jvp
+def _median_magnitude_jvp(v):
+    vals = _middle_order_stats(v)
     return jnp.mean(vals, axis=-1, keepdims=True).astype(v.dtype)
+
+
+@_median_magnitude_jvp.defjvp
+def _median_magnitude_jvp_rule(primals, tangents):
+    (v,), (dv,) = primals, tangents
+    vals = _middle_order_stats(v)  # [..., R]
+    out = jnp.mean(vals, axis=-1, keepdims=True).astype(v.dtype)
+    mag = jnp.abs(v).astype(jnp.float32)
+    dvals = []
+    for r in range(vals.shape[-1]):
+        val = vals[..., r : r + 1]
+        mask = (mag == val).astype(jnp.float32)
+        wsum = jnp.sum(mask, axis=-1, keepdims=True)
+        w = mask / jnp.maximum(wsum, 1.0)
+        dvals.append(
+            jnp.sum(w * jnp.sign(v) * dv.astype(jnp.float32), axis=-1,
+                    keepdims=True)
+        )
+    dout = (sum(dvals) / len(dvals)).astype(v.dtype)
+    return out, dout
 
 
 def mad_sigma(detail: jnp.ndarray) -> jnp.ndarray:
