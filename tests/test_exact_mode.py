@@ -66,3 +66,32 @@ def test_exact_synthesis_inverts_exact_analysis_zero_boundary():
     got = _combine((hi, lo))[:, span:-span]
     ref = np.asarray(x, np.float64)[:, span:-span]
     np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_public_exact_api_roundtrip_below_1e10():
+    """vw.modwt_multilevel_exact / imodwt_multilevel_exact: the public
+    exact-tier surface; hi+lo combined in f64 must round-trip <= 1e-10
+    (BASELINE.json gate, interpret mode here; on-chip in bench.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import vectorwave_tpu as vw
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    details, approx = vw.modwt_multilevel_exact(
+        x, "db4", levels=4, interpret=True
+    )
+    assert len(details) == 4 and len(approx) == 2
+    hi, lo = vw.imodwt_multilevel_exact(details, approx, "db4",
+                                        interpret=True)
+    err = (np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+           - np.asarray(x, np.float64))
+    rmse = float(np.sqrt(np.mean(err ** 2)))
+    assert rmse <= 1e-10, rmse
+    # 1-D squeeze path
+    d1, a1 = vw.modwt_multilevel_exact(x[0], "sym8", levels=3,
+                                       interpret=True)
+    h1, l1 = vw.imodwt_multilevel_exact(d1, a1, "sym8", interpret=True)
+    err1 = (np.asarray(h1, np.float64) + np.asarray(l1, np.float64)
+            - np.asarray(x[0], np.float64))
+    assert float(np.sqrt(np.mean(err1 ** 2))) <= 1e-10

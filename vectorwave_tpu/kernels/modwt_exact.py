@@ -577,3 +577,61 @@ def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False):
     if squeeze:
         hi, lo = hi[0], lo[0]
     return hi, lo
+
+
+def modwt_multilevel_exact(x, wavelet, *, levels: int,
+                           boundary: str = "periodic",
+                           interpret: bool = False):
+    """Public exact-tier analysis: [B, N] (or [N]) -> (details, approx)
+    where every plane is a double-float ``(hi, lo)`` pair (~48 effective
+    mantissa bits, on-chip).  Combine ``hi + lo`` in f64 on the host for a
+    full-precision reading; round-trips through :func:`imodwt_multilevel_exact`
+    stay <= 1e-10 RMSE ON THE TPU (BASELINE.json's parity gate; bench.py's
+    ``exact_rmse`` measures 8.4e-14).  Periodic/zero boundaries.
+    """
+    from .modwt_pallas import _kernel_filters
+    from ..transforms.modwt import _resolve_discrete
+
+    b_l = boundary.lower()
+    if not (b_l.startswith("per") or b_l.startswith("zero")):
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+            "Exact-tier kernels support periodic/zero boundaries",
+        )
+    w = _resolve_discrete(wavelet)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None, :]
+    pairs = analysis_exact(
+        x, levels, _kernel_filters(w, synthesis=False),
+        b_l.startswith("per"), interpret=interpret,
+    )
+    if squeeze:
+        pairs = tuple((h[0], l[0]) for h, l in pairs)
+    return tuple(pairs[:levels]), pairs[levels]
+
+
+def imodwt_multilevel_exact(details, approx, wavelet, *,
+                            boundary: str = "periodic",
+                            interpret: bool = False):
+    """Inverse of :func:`modwt_multilevel_exact`: double-float plane pairs
+    -> reconstructed ``(hi, lo)`` pair."""
+    from .modwt_pallas import _kernel_filters
+    from ..transforms.modwt import _resolve_discrete
+
+    b_l = boundary.lower()
+    w = _resolve_discrete(wavelet)
+    pairs = tuple(details) + (approx,)
+    squeeze = pairs[0][0].ndim == 1
+    if squeeze:
+        pairs = tuple((h[None, :], l[None, :]) for h, l in pairs)
+    levels = len(details)
+    hi, lo = synthesis_exact(
+        pairs, levels, _kernel_filters(w, synthesis=True),
+        b_l.startswith("per"), interpret=interpret,
+    )
+    if squeeze:
+        hi, lo = hi[0], lo[0]
+    return hi, lo
