@@ -201,7 +201,7 @@ def measure_all() -> dict:
         ("cfg5 CWT morl 64-scale 1M samples", cwt_cfg5, sig(1 << 20), 20,
          None),
         ("symmetric kernel-tier roundtrip 128x64K db4 6-level",
-         sym_roundtrip, sig(65536, 128), 50, 128 * 65536),
+         sym_roundtrip, sig(65536, 128), 100, 128 * 65536),
         ("fused one-pass denoise 128x64K db4 6-level universal-soft",
          fused_denoise_row, sig(65536, 128), 50, 128 * 65536),
     ):
