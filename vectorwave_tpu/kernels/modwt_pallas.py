@@ -290,13 +290,14 @@ def fused_denoise_multilevel(
     traffic instead of the separate-call path's 68).
 
     Returns None when the shape cannot be served (caller falls back to the
-    3-call path).  Periodic/zero boundaries; not differentiable (use the
-    jnp path for gradients).  Reference semantics:
+    3-call path).  Periodic/zero boundaries.  Differentiable: the custom
+    VJP recomputes the shrink mask and runs the composite analysis/
+    synthesis kernels as the adjoints (see ``_fused_denoise_bwd``).
+    Reference semantics:
     ``WaveletDenoiser.denoiseMultiLevel`` (WaveletDenoiser.java:155-171).
     """
     from ..config import get_fused_precision
     from ..transforms.modwt import _resolve_discrete
-    from .modwt_mxu import run_denoise_composite
 
     if interpret is None:
         interpret = not pallas_available()
