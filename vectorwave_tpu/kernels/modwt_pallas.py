@@ -12,9 +12,9 @@ eligibility helpers, the differentiable ``fused_analysis``/``fused_synthesis``
 entry points (custom VJPs: the adjoint of analysis is synthesis with the
 analysis filters, so each gradient is one fused kernel pass — including
 biorthogonal wavelets where dec and rec filters differ), and the precision
-knob (``config.set_fused_precision``: float32 / bf16_3x / bf16 — measured at
-2.5 / 4.2 / 8.1 Gsamples/s round trip on a v5e chip vs a 10 Gsamples/s
-measured-HBM roofline; tools/perf_final.py).
+knob (``config.set_fused_precision``: float32 / bf16_3x / bf16 — ~2.5 / ~4.8
+/ ~10.8 Gsamples/s round trip on a v5e chip, ±15% chip-state variance;
+the per-round measurement is BENCH_LATEST.json).
 """
 
 from __future__ import annotations
