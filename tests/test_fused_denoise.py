@@ -216,3 +216,40 @@ def test_sure_method_keeps_materializing_path():
     finally:
         vw.set_backend("auto")
     assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+@pytest.mark.slow
+def test_fused_denoise_property_sweep_across_families():
+    """Fused-vs-3-call parity across a spread of the registry (orthogonal,
+    least-asymmetric, coiflet, biorthogonal, long filters) x modes x
+    boundaries, interpret mode."""
+    rng = np.random.default_rng(9)
+    cases = [
+        ("db2", "periodic", "soft"), ("db8", "zero", "hard"),
+        ("sym12", "periodic", "hard"), ("coif3", "zero", "soft"),
+        ("bior4.4", "periodic", "soft"), ("rbio2.2", "periodic", "hard"),
+        ("db16", "periodic", "soft"), ("coif5", "periodic", "soft"),
+    ]
+    for name, boundary, mode in cases:
+        n, levels = 4096, 3
+        x = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        res = vw.modwt_multilevel(x, name, levels=levels, boundary=boundary,
+                                  backend="jnp")
+        ths = _thresholds(res, n, levels)
+        got = fused_denoise_multilevel(
+            x, name, levels=levels, thresholds=ths, boundary=boundary,
+            mode=mode, interpret=True, precision="float32",
+        )
+        assert got is not None, name
+        nd = tuple(
+            apply_threshold(d, ths[..., j:j + 1], mode)
+            for j, d in enumerate(res.details)
+        )
+        ref = vw.imodwt_multilevel(
+            MultiLevelMODWTResult(nd, res.approx), name, boundary=boundary,
+            backend="jnp",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5,
+            err_msg=f"{name} {boundary} {mode}",
+        )
