@@ -199,9 +199,35 @@ def main() -> None:
         )
 
     if on_tpu:
+        # fused ONE-PASS round trip (mode="none" tier of the fused-denoise
+        # kernel; planes never leave VMEM, 8 B/sample of HBM traffic): the
+        # compute-bound point of the design — the 68 B/sample separate-call
+        # path above is pinned to the HBM write wall at ~80% of MXU peak
+        # (tools/probe_write_wall.py); this row shows the kernel freed of it
+        def frt(y):
+            return vw.modwt_roundtrip_fused(
+                y, WAVELET, levels=LEVELS, boundary="periodic"
+            )
+
+        t_frt = _measure(frt, x)
+        fused_rate = BATCH * N / t_frt / 1e6
+        rmse_frt = float(jnp.sqrt(jnp.mean((jax.jit(frt)(x) - x) ** 2)))
+        extras["fused_roundtrip_msamples"] = round(fused_rate, 1)
+        extras["fused_roundtrip_rmse"] = rmse_frt
+        fused_tflops = fused_rate * 1e6 * rt_macs * 2 * 3 / 1e12
+        extras["mxu_eff_tflops_fused_roundtrip"] = round(fused_tflops, 1)
+        extras["pct_mxu_peak_fused_roundtrip"] = round(
+            100 * fused_tflops / V5E_BF16_PEAK_TFLOPS, 1
+        )
+        print(f"bench: fused roundtrip: {fused_rate:.0f} Msamples/s "
+              f"rmse {rmse_frt:.2e} "
+              f"({extras['pct_mxu_peak_fused_roundtrip']}% MXU peak)",
+              file=sys.stderr, flush=True)
+
         # fused one-pass denoise (analysis -> threshold -> synthesis in
         # VMEM, kernels/modwt_mxu._composite_denoise_call): the production
-        # denoise rate at the headline shape
+        # denoise rate at the headline shape (sigma via the decimated MAD
+        # estimator, denoise/denoiser._fused_sigma)
         def dn(y):
             return vw.denoise_multilevel(
                 y, WAVELET, levels=LEVELS, method="universal", mode="soft"

@@ -192,6 +192,50 @@ def measure_all() -> dict:
         return vw.denoise_multilevel(x, "db4", levels=6, method="universal",
                                      mode="soft")
 
+    def fused_roundtrip_row(x):  # one-pass roundtrip (8 B/sample)
+        return vw.modwt_roundtrip_fused(x, "db4", levels=6,
+                                        boundary="periodic")
+
+    # batched kernel-tier block streaming: the composite kernel fed by the
+    # carry as its external halo (streaming/stream.modwt_stream_block_kernel)
+    from vectorwave_tpu.streaming import (
+        kernel_streaming_init,
+        modwt_stream_block_kernel,
+    )
+
+    STREAM_B, STREAM_BLK, STREAM_NBLK = 128, 8192, 8
+
+    def stream_kernel_row(x):  # x: [B, nblk*blk]
+        blocks = x.reshape(STREAM_B, STREAM_NBLK, STREAM_BLK).transpose(1, 0, 2)
+        state = kernel_streaming_init("db4", 6, batch_shape=(STREAM_B,))
+
+        def step(st, blk):
+            st, res = modwt_stream_block_kernel(
+                st, blk, "db4", levels=6, boundary="zero"
+            )
+            acc = res.approx
+            for d in res.details:
+                acc = acc + 1e-3 * d
+            return st, acc
+
+        _, accs = jax.lax.scan(step, state, blocks)
+        return accs.transpose(1, 0, 2).reshape(STREAM_B, -1)
+
+    # tiled (shard_map) path on a 1-device mesh: guards the distributed
+    # tier's shard-local kernel rate (VERDICT r03 item 10 — previously only
+    # in SCALING.md prose via tools/probe_tiled_chip.py)
+    from jax.sharding import Mesh
+    from vectorwave_tpu.parallel.tiled import (
+        imodwt_multilevel_tiled,
+        modwt_multilevel_tiled,
+    )
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("signal",))
+
+    def tiled_roundtrip_row(x):
+        res = modwt_multilevel_tiled(x, "db4", levels=6, mesh=mesh1)
+        return imodwt_multilevel_tiled(res, "db4", mesh=mesh1)
+
     baseline_rows = []
     for name, fn, x0, iters, samples in (
         ("cfg3 SWT sym8 4-level symmetric denoise 16K", swt_denoise_cfg3,
@@ -204,6 +248,13 @@ def measure_all() -> dict:
          sym_roundtrip, sig(65536, 128), 100, 128 * 65536),
         ("fused one-pass denoise 128x64K db4 6-level universal-soft",
          fused_denoise_row, sig(65536, 128), 50, 128 * 65536),
+        ("fused one-pass roundtrip 128x64K db4 6-level",
+         fused_roundtrip_row, sig(65536, 128), 100, 128 * 65536),
+        ("kernel block streaming 128 streams x 8x8K blocks db4 6-level zero",
+         stream_kernel_row, sig(STREAM_NBLK * STREAM_BLK, STREAM_B), 30,
+         STREAM_B * STREAM_NBLK * STREAM_BLK),
+        ("tiled 1-dev mesh roundtrip 128x64K db4 6-level",
+         tiled_roundtrip_row, sig(65536, 128), 100, 128 * 65536),
     ):
         try:
             ms = _measure_ms(fn, x0, iters, rb1)

@@ -65,6 +65,34 @@ def get_fused_precision() -> str:
     return _fused_precision
 
 
+#: MAD-sigma estimator used by the fused denoise router (denoise/denoiser.py):
+#: "auto" decimates the level-1 detail to ~1/64 of rows for large signals
+#: (the exact 31-pass bitwise median over full N costs more HBM traffic than
+#: the entire fused denoise kernel), "exact" forces the full-sample median,
+#: "decimated" forces the subsample whenever the shape allows.
+_VALID_SIGMA = ("auto", "exact", "decimated")
+
+_sigma_estimator = os.environ.get("VECTORWAVE_TPU_SIGMA", "auto")
+
+
+def set_sigma_estimator(name: str) -> None:
+    """Select the fused-denoise MAD-sigma estimator: auto/exact/decimated."""
+    if name not in _VALID_SIGMA:
+        from .errors import ErrorCode, InvalidConfigurationError
+
+        raise InvalidConfigurationError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown sigma estimator {name!r}",
+            suggestions=(f"Use one of {_VALID_SIGMA}",),
+        )
+    global _sigma_estimator
+    _sigma_estimator = name
+
+
+def get_sigma_estimator() -> str:
+    return _sigma_estimator
+
+
 def cache_root() -> str:
     """Root directory for on-disk caches (XLA programs, native builds,
     perf calibration): ``$VECTORWAVE_TPU_CACHE`` or ``~/.cache/vectorwave_tpu``."""

@@ -126,18 +126,33 @@ def _dot_prepped(a, m_refs, precision: str):
     The ``a`` split happens here, after the sublane shift — Mosaic has no
     sub-32-bit rotate, so views must shift in f32 and split per group.
     """
+    return _dot_parts(_prep_operand(a, precision), m_refs, precision)
+
+
+def _prep_operand(a, precision: str):
+    """Split/route an f32 operand once so it can feed several dots (the
+    synthesis kernels reuse one plane window across band offsets — hoisting
+    the bf16 split out of the per-offset loop removes a VPU pass per dot)."""
+    if precision == "bf16_3x":
+        return _split_bf16(a)
+    return (a,)
+
+
+def _dot_parts(parts, m_refs, precision: str):
     dims = (((1,), (0,)), ((), ()))
     kw = {"preferred_element_type": jnp.float32}
     if precision == "float32":
         return jax.lax.dot_general(
-            a, m_refs[0][:], dims, precision=jax.lax.Precision.HIGHEST, **kw
+            parts[0], m_refs[0][:], dims,
+            precision=jax.lax.Precision.HIGHEST, **kw
         )
     if precision == "bf16":
         return jax.lax.dot_general(
-            a, m_refs[0][:], dims, precision=jax.lax.Precision.DEFAULT, **kw
+            parts[0], m_refs[0][:], dims,
+            precision=jax.lax.Precision.DEFAULT, **kw
         )
     if precision == "bf16_3x":
-        a_hi, a_lo = _split_bf16(a)
+        a_hi, a_lo = parts
         m_hi = m_refs[0][:]
         m_lo = m_refs[1][:]
         return (
@@ -667,12 +682,13 @@ def _resolve_planes(filters, levels: int, planes_override) -> list[np.ndarray]:
     jax.jit,
     static_argnames=(
         "levels", "filters", "b_tile", "tile_rows", "halo_rows", "precision",
-        "interpret", "edge", "inline_halo", "planes_override",
+        "interpret", "edge", "inline_halo", "planes_override", "head_samples",
     ),
 )
 def _composite_analysis_call(
     x: jnp.ndarray,  # [B, R, 128]; halo prepended unless inline_halo
     halo: jnp.ndarray | None = None,  # [B, halo_rows, 128] when edge="external"
+    head: jnp.ndarray | None = None,  # [n_planes, B, hr8, 128] head override
     *,
     levels: int,
     filters: tuple[tuple[float, ...], tuple[float, ...]],
@@ -684,6 +700,7 @@ def _composite_analysis_call(
     edge: str = "wrap",
     inline_halo: bool = False,
     planes_override: tuple = None,
+    head_samples: int = 0,
 ):
     """Composite analysis kernel (double-buffered DMA pipeline).
 
@@ -726,10 +743,18 @@ def _composite_analysis_call(
     cpg = len(group_consts) // len(groups)  # const terms per group
     external = edge == "external"
     halo_inputs = (halo,) if external else ()
+    # head_samples > 0: the first head_samples output samples of every plane
+    # are replaced (t == 0 tiles) by the supplied ``head`` slab — the
+    # symmetric tier's edge splice done IN-KERNEL, so no full-plane
+    # concatenate copies on the output (round-3 symmetric lost ~2x to them)
+    head_inputs = (head,) if head_samples else ()
+    hr8 = head.shape[2] if head_samples else 0
 
     def kernel(x_hbm, *rest):
         halo_hbm = rest[0] if external else None
         rest = rest[1:] if external else rest
+        head_ref = rest[0] if head_samples else None
+        rest = rest[1:] if head_samples else rest
         g_refs = rest[: len(group_consts)]
         out_refs = rest[len(group_consts) : len(group_consts) + n_planes]
         scratch, sems = rest[-2:]
@@ -815,12 +840,20 @@ def _composite_analysis_call(
             for slot, pi in enumerate(members):
                 piece = out[:, slot * _LANES : (slot + 1) * _LANES]
                 accs[pi] = piece if accs[pi] is None else accs[pi] + piece
-        for pi in range(n_planes):
-            out_refs[pi][:] = (
-                accs[pi].astype(dtype).reshape(b_tile, window_rows, _LANES)[
-                    :, halo_rows:, :
-                ]
+        if head_samples:
+            pos = (
+                jax.lax.broadcasted_iota(jnp.int32, (hr8, _LANES), 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, (hr8, _LANES), 1)
             )
+            splice = jnp.logical_and(t == 0, pos < head_samples)[None]
+        for pi in range(n_planes):
+            out3 = accs[pi].astype(dtype).reshape(b_tile, window_rows, _LANES)[
+                :, halo_rows:, :
+            ]
+            if head_samples:
+                blend = jnp.where(splice, head_ref[pi], out3[:, :hr8, :])
+                out3 = jnp.concatenate([blend, out3[:, hr8:, :]], axis=1)
+            out_refs[pi][:] = out3
 
     out_shape = [
         jax.ShapeDtypeStruct((b, r_out, _LANES), dtype) for _ in range(n_planes)
@@ -834,10 +867,22 @@ def _composite_analysis_call(
         for _ in range(n_planes)
     ]
     macs = sum(m.shape[1] for _, _, m in groups) * _LANES
+    head_specs = (
+        [
+            pl.BlockSpec(
+                (n_planes, b_tile, hr8, _LANES),
+                lambda bi, t: (0, bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        if head_samples
+        else []
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + len(halo_inputs))
+        + head_specs
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -851,7 +896,7 @@ def _composite_analysis_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, *halo_inputs, *group_consts)
+    )(x, *halo_inputs, *head_inputs, *group_consts)
     return tuple(outs)
 
 
@@ -1082,7 +1127,7 @@ def _pad_halo_rows(halo, halo_pad: int, side: str):
 
 
 def run_analysis_composite(x, levels, filters, periodic, tile, precision,
-                           interpret, halo=None):
+                           interpret, halo=None, head_splice=None):
     """[B, N] composite-filter analysis; arbitrary N; periodic/zero.
 
     When N is a whole number of row tiles the kernel fetches its own halos
@@ -1092,6 +1137,11 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
     ``halo``: optional [B, >=span] LEFT-neighbor samples (the distributed
     tier's ppermute output; samples just left of ``x[..., 0]``).  Overrides
     ``periodic`` — the boundary is the neighbor's data, zero beyond it.
+
+    ``head_splice``: optional ``(slab, span)`` — ``slab`` is
+    ``[levels+1, B, hr8, 128]`` precomputed plane values whose first
+    ``span`` samples overwrite every plane's head in-kernel (the symmetric
+    tier's edge splice; ``hr8`` must not exceed the row tile).
     """
     b, n = x.shape
     filter_length = len(filters[0])
@@ -1102,6 +1152,9 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
         b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
         x.dtype.itemsize,
     )
+    head, head_samples = head_splice if head_splice else (None, 0)
+    if head_samples:
+        assert head.shape[2] <= tile_rows, "head slab exceeds the row tile"
     external = halo is not None
     edge = "external" if external else ("wrap" if periodic else "zero")
     inline = n % (tile_rows * _LANES) == 0 and n >= halo_pad
@@ -1109,6 +1162,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
         outs = _composite_analysis_call(
             _to_rows(x),
             _pad_halo_rows(halo, halo_pad, "left") if external else None,
+            head,
             levels=levels,
             filters=filters,
             b_tile=b_tile,
@@ -1118,6 +1172,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
             interpret=interpret,
             edge=edge,
             inline_halo=True,
+            head_samples=head_samples,
         )
         return tuple(_from_rows(o) for o in outs)
     n_pad = _round_up(n, tile_rows * _LANES)
@@ -1135,6 +1190,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
     outs = _composite_analysis_call(
         x_ext,
         None,
+        head,
         levels=levels,
         filters=filters,
         b_tile=b_tile,
@@ -1144,6 +1200,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
         interpret=interpret,
         edge="zero" if external else edge,
         inline_halo=False,
+        head_samples=head_samples,
     )
     return tuple(_from_rows(o)[..., :n] for o in outs)
 
@@ -1346,16 +1403,20 @@ def _composite_denoise_call(
         # because a (b_tile, levels) block violates Mosaic's (8,128)
         # divisibility and a (1,1,1)->(1,R,128) splat is an unimplemented
         # both-axes broadcast; lane-complete rows keep it sublane-only)
+        # mode "none" = pure round trip: planes feed synthesis untouched,
+        # turning the kernel into the 8 B/sample analysis->synthesis pass
+        # (the reference's fused single-pass kernel, VectorOps.java:887).
         shrunk = []
         for pi in range(levels):
             d3 = accs[pi].reshape(b_tile, window_rows, _LANES)
-            tj = th_ref[pl.ds(bi * b_tile, b_tile), pi, :].reshape(
-                b_tile, 1, _LANES
-            )
-            if mode == "soft":
-                d3 = jnp.sign(d3) * jnp.maximum(jnp.abs(d3) - tj, 0.0)
-            else:
-                d3 = jnp.where(jnp.abs(d3) > tj, d3, jnp.zeros_like(d3))
+            if mode != "none":
+                tj = th_ref[pl.ds(bi * b_tile, b_tile), pi, :].reshape(
+                    b_tile, 1, _LANES
+                )
+                if mode == "soft":
+                    d3 = jnp.sign(d3) * jnp.maximum(jnp.abs(d3) - tj, 0.0)
+                else:
+                    d3 = jnp.where(jnp.abs(d3) > tj, d3, jnp.zeros_like(d3))
             shrunk.append(d3.reshape(b_tile * window_rows, _LANES))
         shrunk.append(accs[levels])
         if zero_tail:

@@ -366,12 +366,18 @@ def _fused_denoise_bwd(levels, filters_dec, filters_rec, periodic, tile,
     from .modwt_mxu import run_analysis_composite, run_synthesis_composite
 
     x2, th2 = res
-    d_planes = run_analysis_composite(
-        x2, levels, filters_dec, periodic, tile,
-        precision, interpret,
-    )
     gs = run_analysis_composite(
         g, levels, filters_rec, periodic, tile,
+        precision, interpret,
+    )
+    if mode == "none":  # pure round trip: S^T then A^T, no shrink mask
+        dx = run_synthesis_composite(
+            tuple(gs), levels, filters_dec, periodic, tile,
+            precision, interpret,
+        )
+        return dx, jnp.zeros_like(th2)
+    d_planes = run_analysis_composite(
+        x2, levels, filters_dec, periodic, tile,
         precision, interpret,
     )
     masks = [
@@ -404,3 +410,51 @@ def _fused_denoise_bwd(levels, filters_dec, filters_rec, periodic, tile,
 
 
 _fused_denoise_core.defvjp(_fused_denoise_fwd, _fused_denoise_bwd)
+
+
+def modwt_roundtrip_fused(
+    x: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int,
+    boundary: str = "periodic",
+    tile: int = 65536,
+    interpret: bool | None = None,
+    precision: str | None = None,
+) -> jnp.ndarray:
+    """Fused analysis->synthesis round trip in ONE kernel pass (8 B/sample).
+
+    The separate-call round trip (``fused_analysis`` + ``fused_synthesis``)
+    writes J+1 coefficient planes to HBM and reads them back — 68 B/sample
+    at the bench shape, which pins it to the HBM write wall at ~80% of MXU
+    peak (tools/probe_write_wall.py).  Here the planes live only in VMEM per
+    grid step (the ``mode="none"`` tier of the fused-denoise kernel), so the
+    round trip is purely compute-bound.  Reference contract: the fused
+    single-pass low+high kernel
+    (``/root/reference/vectorwave-extensions/.../internal/VectorOps.java:887``).
+
+    Falls back to the two-call composite path when the shape cannot be
+    served by the one-pass kernel (short/unaligned signals).  Periodic/zero
+    boundaries; differentiable (custom VJP: one analysis + one synthesis
+    kernel pass).
+    """
+    squeeze = x.ndim == 1
+    x2 = x[None, :] if squeeze else x
+    lead = x2.shape[:-1]
+    flat = x2.reshape(-1, x2.shape[-1])
+    dummy = jnp.zeros(flat.shape[:-1] + (levels,), jnp.float32)
+    out = fused_denoise_multilevel(
+        flat, wavelet, levels=levels, thresholds=dummy, boundary=boundary,
+        mode="none", tile=tile, interpret=interpret, precision=precision,
+    )
+    if out is None:
+        details, approx = fused_analysis(
+            flat, wavelet, levels=levels, boundary=boundary, tile=tile,
+            interpret=interpret, precision=precision,
+        )
+        out = fused_synthesis(
+            details, approx, wavelet, boundary=boundary, tile=tile,
+            interpret=interpret, precision=precision,
+        )
+    out = out.reshape(lead + (out.shape[-1],))
+    return out[0] if squeeze else out

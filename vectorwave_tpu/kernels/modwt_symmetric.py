@@ -39,6 +39,9 @@ from .modwt_mxu import (
     _auto_tiles,
     _composite_analysis_call,
     _composite_synthesis_call,
+    _const_terms,
+    _dot_prepped,
+    _shift_rows,
     _to_rows,
     _from_rows,
     composite_halo_samples,
@@ -222,18 +225,347 @@ def _symsyn_adjoint_kernel(g_cot, dense, g: int, d_max: int, levels: int,
 
 
 # ---------------------------------------------------------------------------
-# Public entry points (kernel body + jnp edge splice)
+# Two-sided one-pass synthesis kernel (v2): reads the UNEXTENDED planes with
+# a [H | tile | H] window (zero-filled at both signal edges) and blends the
+# jnp head/tail splice values IN-KERNEL — no g-shift plane extensions, no
+# output concatenate: HBM traffic drops to read-planes + write-x, the same
+# budget as the periodic synthesis kernel.  (Round 3's symmetric synthesis
+# materialized a left-extended copy of every plane plus a full-size output
+# splice; those copies were most of its 3.1x gap to periodic.)
 # ---------------------------------------------------------------------------
 
 
+def _band_single_offset(filt: np.ndarray, offset: int) -> dict[int, np.ndarray]:
+    """{e: M_e[128, 128]} for out[p] = sum_tau f[tau] plane[p + offset + tau]
+    (two-sided reads: ``offset`` may be negative, so e can be negative)."""
+    blocks: dict[int, np.ndarray] = {}
+    for tau, val in enumerate(np.asarray(filt, dtype=np.float64)):
+        if val == 0.0:
+            continue
+        delta = offset + tau
+        for i in range(_LANES):
+            src = i + delta
+            e = src // _LANES
+            lane = src - e * _LANES
+            m = blocks.setdefault(e, np.zeros((_LANES, _LANES), dtype=np.float64))
+            m[lane, i] += val
+    return blocks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "dense", "g", "levels", "span_l", "span_r", "b_tile", "tile_rows",
+        "halo_rows", "precision", "interpret",
+    ),
+)
+def _symsyn2_call(
+    coeffs: tuple[jnp.ndarray, ...],  # n_planes x [B, R, 128], unextended
+    head: jnp.ndarray,  # [B, hh8, 128] exact head values (pos < span_l used)
+    tail: jnp.ndarray,  # [B, ht8, 128] exact tail values (last span_r used)
+    *,
+    dense: tuple,  # rebased plane filters (non-negative taps)
+    g: int,  # rebase shift: reads are plane[p + tau - g]
+    levels: int,
+    span_l: int,
+    span_r: int,
+    b_tile: int,
+    tile_rows: int,
+    halo_rows: int,  # H, per side
+    precision: str,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_planes = levels + 1
+    plane_bands = [
+        _band_single_offset(np.asarray(d, np.float64), -g) for d in dense
+    ]
+    all_e = sorted({e for pb in plane_bands for e in pb})
+    e_min, e_max = all_e[0], all_e[-1]
+    assert -halo_rows <= e_min and e_max <= halo_rows
+    groups = []  # (shift, members, M vstack)
+    for e in all_e:
+        members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
+        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=0)
+        groups.append((e_max - e, members, m_cat))
+
+    b, r, _ = coeffs[0].shape
+    h = halo_rows
+    window_rows = tile_rows + 2 * h
+    num_t = r // tile_rows
+    grid = (b // b_tile, num_t)
+    total_steps = (b // b_tile) * num_t
+    dtype = coeffs[0].dtype
+    hh8 = head.shape[1]
+    ht8 = tail.shape[1]
+    group_consts: list[jnp.ndarray] = []
+    for _, _, m in groups:
+        group_consts.extend(_const_terms(m, precision))
+    cpg = len(group_consts) // len(groups)
+
+    def kernel(*refs):
+        coeff_hbm = refs[:n_planes]
+        head_ref = refs[n_planes]
+        tail_ref = refs[n_planes + 1]
+        off = n_planes + 2
+        g_refs = refs[off : off + len(group_consts)]
+        out_ref = refs[off + len(group_consts)]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        li = bi * num_t + t
+
+        def window_dma(bi2, t2, slot, phase):
+            bs2 = pl.ds(bi2 * b_tile, b_tile)
+
+            def _interior():
+                cs = [
+                    pltpu.make_async_copy(
+                        coeff_hbm[i].at[
+                            bs2, pl.ds(t2 * tile_rows - h, window_rows), :
+                        ],
+                        scratch.at[slot, i],
+                        sems.at[slot, i],
+                    )
+                    for i in range(n_planes)
+                ]
+                for c in cs:
+                    c.start() if phase == 0 else c.wait()
+
+            def _left():
+                cs = [
+                    pltpu.make_async_copy(
+                        coeff_hbm[i].at[bs2, pl.ds(0, tile_rows + h), :],
+                        scratch.at[slot, i, :, pl.ds(h, tile_rows + h), :],
+                        sems.at[slot, i],
+                    )
+                    for i in range(n_planes)
+                ]
+                for c in cs:
+                    c.start() if phase == 0 else c.wait()
+                if phase == 0:
+                    scratch[slot, :, :, :h, :] = jnp.zeros(
+                        (n_planes, b_tile, h, _LANES), dtype
+                    )
+
+            def _right():
+                cs = [
+                    pltpu.make_async_copy(
+                        coeff_hbm[i].at[
+                            bs2, pl.ds(t2 * tile_rows - h, tile_rows + h), :
+                        ],
+                        scratch.at[slot, i, :, pl.ds(0, tile_rows + h), :],
+                        sems.at[slot, i],
+                    )
+                    for i in range(n_planes)
+                ]
+                for c in cs:
+                    c.start() if phase == 0 else c.wait()
+                if phase == 0:
+                    scratch[slot, :, :, tile_rows + h :, :] = jnp.zeros(
+                        (n_planes, b_tile, h, _LANES), dtype
+                    )
+
+            def _single():
+                cs = [
+                    pltpu.make_async_copy(
+                        coeff_hbm[i].at[bs2, pl.ds(0, tile_rows), :],
+                        scratch.at[slot, i, :, pl.ds(h, tile_rows), :],
+                        sems.at[slot, i],
+                    )
+                    for i in range(n_planes)
+                ]
+                for c in cs:
+                    c.start() if phase == 0 else c.wait()
+                if phase == 0:
+                    scratch[slot, :, :, :h, :] = jnp.zeros(
+                        (n_planes, b_tile, h, _LANES), dtype
+                    )
+                    scratch[slot, :, :, tile_rows + h :, :] = jnp.zeros(
+                        (n_planes, b_tile, h, _LANES), dtype
+                    )
+
+            if num_t == 1:
+                _single()
+            else:
+                pl.when(t2 == 0)(_left)
+                pl.when(t2 == num_t - 1)(_right)
+                if num_t > 2:
+                    pl.when(jnp.logical_and(t2 != 0, t2 != num_t - 1))(
+                        _interior
+                    )
+
+        @pl.when(li == 0)
+        def _prologue():
+            window_dma(bi, t, 0, phase=0)
+
+        window_dma(bi, t, li % 2, phase=1)
+
+        if total_steps > 1:
+            @pl.when(li + 1 < total_steps)
+            def _prefetch():
+                li1 = li + 1
+                window_dma(li1 // num_t, li1 % num_t, li1 % 2, phase=0)
+
+        flats = [
+            scratch[li % 2, i].reshape(b_tile * window_rows, _LANES)
+            for i in range(n_planes)
+        ]
+        acc = None
+        for gi, (shift, members, _) in enumerate(groups):
+            views = [_shift_rows(flats[pi], shift) for pi in members]
+            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
+            term = _dot_prepped(cat, g_refs[gi * cpg : (gi + 1) * cpg], precision)
+            acc = term if acc is None else acc + term
+        # out_tile[q] = acc[h + q + e_max]: roll by (h - e_max), slice [2h:)
+        accd = _shift_rows(acc.astype(dtype), h - e_max)
+        out3 = accd.reshape(b_tile, window_rows, _LANES)[:, 2 * h :, :]
+        # in-kernel edge splice: first span_l samples (t == 0) come from the
+        # exact jnp head inverse, last span_r (t == num_t-1) from the tail
+        pos_h = (
+            jax.lax.broadcasted_iota(jnp.int32, (hh8, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (hh8, _LANES), 1)
+        )
+        mask_h = jnp.logical_and(t == 0, pos_h < span_l)[None]
+        head_part = jnp.where(mask_h, head_ref[:], out3[:, :hh8, :])
+        pos_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (ht8, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (ht8, _LANES), 1)
+        )
+        mask_t = jnp.logical_and(
+            t == num_t - 1, pos_t >= ht8 * _LANES - span_r
+        )[None]
+        tail_part = jnp.where(mask_t, tail_ref[:], out3[:, tile_rows - ht8 :, :])
+        out_ref[:] = jnp.concatenate(
+            [head_part, out3[:, hh8 : tile_rows - ht8, :], tail_part], axis=1
+        )
+
+    macs = sum(m.shape[0] for _, _, m in groups) * _LANES
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+        + [
+            pl.BlockSpec(
+                (b_tile, hh8, _LANES), lambda bi, t: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (b_tile, ht8, _LANES), lambda bi, t: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(len(group_consts))],
+        out_specs=pl.BlockSpec(
+            (b_tile, tile_rows, _LANES),
+            lambda bi, t: (bi, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, r, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_planes, b_tile, window_rows, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, n_planes)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * macs * b * r * _LANES,
+            bytes_accessed=b * r * _LANES * (n_planes + 1) * dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*coeffs, head, tail, *group_consts)
+    return out
+
+
+def _symsyn2_tiles(b: int, r: int, levels: int, h: int, hh8: int, ht8: int):
+    """(b_tile, tile_rows) for the two-sided kernel, or None when no 8-row
+    tile divides R while covering the halo and both splice slabs."""
+    b_tile, tile_max = _auto_tiles(
+        b, levels, 2 * h, r, r, itemsize=4,
+        scratch_windows=2 * (levels + 2),
+    )
+    tr = min(_round_up(tile_max, 8), r)
+    need = max(h, hh8 + ht8, 8)
+    while tr >= need:
+        if r % tr == 0:
+            return b_tile, tr
+        tr -= 8
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def _symsyn2_core(p2, head_slab, tail_slab, dense, g, d_max, levels, span_l,
+                  span_r, tiles, precision_interpret):
+    b_tile, tile_rows, h = tiles
+    precision, interpret = precision_interpret
+    return _from_rows(
+        _symsyn2_call(
+            tuple(_to_rows(p) for p in p2),
+            head_slab,
+            tail_slab,
+            dense=dense,
+            g=g,
+            levels=levels,
+            span_l=span_l,
+            span_r=span_r,
+            b_tile=b_tile,
+            tile_rows=tile_rows,
+            halo_rows=h,
+            precision=precision,
+            interpret=interpret,
+        )
+    )
+
+
+def _symsyn2_fwd(p2, head_slab, tail_slab, dense, g, d_max, levels, span_l,
+                 span_r, tiles, precision_interpret):
+    return _symsyn2_core(
+        p2, head_slab, tail_slab, dense, g, d_max, levels, span_l, span_r,
+        tiles, precision_interpret,
+    ), None
+
+
+def _symsyn2_bwd(dense, g, d_max, levels, span_l, span_r, tiles,
+                 precision_interpret, _, cot):
+    """The kernel output is out = splice(body(planes), head, tail) with
+    body linear: d_planes = body^T(cot . interior_mask) via the existing
+    rebased adjoint kernel; d_head / d_tail are the masked cotangent slabs."""
+    precision, interpret = precision_interpret
+    n = cot.shape[-1]
+    hh8 = _round_up(max(-(-span_l // _LANES), 1), 8)
+    ht8 = _round_up(max(-(-span_r // _LANES), 1), 8)
+    idx = jnp.arange(n)
+    interior = jnp.logical_and(idx >= span_l, idx < n - span_r).astype(cot.dtype)
+    grads = _symsyn_adjoint_kernel(
+        cot * interior, dense, g, d_max, levels, precision, interpret
+    )
+    head_mask = (jnp.arange(hh8 * _LANES) < span_l).astype(cot.dtype)
+    d_head = _to_rows(cot[..., : hh8 * _LANES] * head_mask)
+    tail_mask = (
+        jnp.arange(ht8 * _LANES) >= ht8 * _LANES - span_r
+    ).astype(cot.dtype)
+    d_tail = _to_rows(cot[..., n - ht8 * _LANES :] * tail_mask)
+    return tuple(grads), d_head, d_tail
+
+
+_symsyn2_core.defvjp(_symsyn2_fwd, _symsyn2_bwd)
+
+
 def _jnp_symmetric_cascade(x, w, levels):
+    low = np.asarray(w.dec_lo, np.float64) * _INV_SQRT2
+    high = np.asarray(w.dec_hi, np.float64) * _INV_SQRT2
+    return _jnp_symmetric_cascade_filters(x, low, high, levels)
+
+
+def _jnp_symmetric_cascade_filters(x, low, high, levels):
     from ..ops.convolve import atrous_analysis_pair
 
     # keep filters HOST-side numpy: a jnp.asarray here would stage a
     # convert_element_type under an enclosing jit trace (omnistaging) and
     # hand atrous_analysis_pair a tracer it must np.asarray
-    low = (np.asarray(w.dec_lo, np.float64) * _INV_SQRT2).astype(x.dtype)
-    high = (np.asarray(w.dec_hi, np.float64) * _INV_SQRT2).astype(x.dtype)
+    low = np.asarray(low, np.float64).astype(x.dtype)
+    high = np.asarray(high, np.float64).astype(x.dtype)
     cur = x
     details = []
     for j in range(1, levels + 1):
@@ -249,16 +581,26 @@ def _splice_head(body, head, cut):
     return jnp.concatenate([head[..., :cut], body[..., cut:]], axis=-1)
 
 
+#: row budget of the in-kernel head-splice slab (one 8-row block per plane);
+#: spans beyond it (very long filters x deep levels) take the jnp splice path
+_HEAD_ROWS = 8
+
+
 def fused_symmetric_analysis(x, w, *, levels: int, tile: int = 65536,
                              interpret: bool = False,
                              precision: str | None = None):
     """Symmetric J-level analysis -> (details tuple, approx); [B, N] inputs.
 
-    Composite-zero kernel body + exact jnp head splice: the symmetric
-    cascade is CAUSAL (filters read backward; only the signal head is
-    mirrored), so outputs at ``p >= span`` equal the zero-boundary
-    transform, and outputs ``p < span`` come from the jnp cascade on the
-    first ``W = round_up(span, 128)`` samples.  Differentiable end to end.
+    Composite-zero kernel body + exact head splice: the symmetric cascade
+    is CAUSAL (filters read backward; only the signal head is mirrored), so
+    outputs at ``p >= span`` equal the zero-boundary transform, and outputs
+    ``p < span`` come from the jnp cascade on the first
+    ``W = round_up(span, 128)`` samples.  For spans within one 8-row slab
+    the splice happens INSIDE the kernel (``head_splice`` input of the
+    composite analysis call) so no full-plane concatenate copies are
+    materialized — round 3's symmetric tier lost ~2x of its throughput to
+    exactly those copies.  Differentiable end to end (custom VJP below for
+    the in-kernel tier; jnp composition for the fallback).
     """
     from ..config import get_fused_precision
     from .modwt_pallas import _analysis_core, _kernel_filters
@@ -271,6 +613,10 @@ def fused_symmetric_analysis(x, w, *, levels: int, tile: int = 65536,
     if n < max(2 * w_head, 2 * span) or n % _LANES != 0:
         details, approx = _jnp_symmetric_cascade(x, w, levels)
         return tuple(details), approx
+    if span <= _HEAD_ROWS * _LANES:
+        outs = _symana_core(x, levels, filters, span, w_head, tile, prec,
+                            interpret)
+        return tuple(outs[:levels]), outs[levels]
     body = _analysis_core(x, levels, filters, False, tile, interpret, prec)
     # head window sliced in the row view (a flat slice of a pallas operand
     # makes XLA copy-insert the full input; see parallel/tiled.py)
@@ -281,6 +627,80 @@ def fused_symmetric_analysis(x, w, *, levels: int, tile: int = 65536,
     )
     approx = _splice_head(body[levels], head_a, span)
     return details, approx
+
+
+def _head_slab(plane, hr8: int):
+    """[B, >=?] head samples -> [B, hr8, 128] slab (zero-pad past the end;
+    the in-kernel splice mask never reads beyond ``span``)."""
+    need = hr8 * _LANES
+    if plane.shape[-1] >= need:
+        q = plane[..., :need]
+    else:
+        q = jnp.concatenate(
+            [plane, jnp.zeros(plane.shape[:-1] + (need - plane.shape[-1],),
+                              plane.dtype)],
+            axis=-1,
+        )
+    return _to_rows(q)
+
+
+def _symana_run(x, levels, filters, span, w_head, tile, precision, interpret):
+    from .modwt_mxu import run_analysis_composite
+
+    head_x = _from_rows(_to_rows(x)[:, : w_head // _LANES, :])
+    head_d, head_a = _jnp_symmetric_cascade_filters(
+        head_x, filters[0], filters[1], levels
+    )
+    head_slab = jnp.stack(
+        [_head_slab(p, _HEAD_ROWS) for p in tuple(head_d) + (head_a,)]
+    )
+    return run_analysis_composite(
+        x, levels, filters, False, tile, precision, interpret,
+        head_splice=(head_slab, span),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _symana_core(x, levels, filters, span, w_head, tile, precision, interpret):
+    return _symana_run(x, levels, filters, span, w_head, tile, precision,
+                       interpret)
+
+
+def _symana_fwd(x, levels, filters, span, w_head, tile, precision, interpret):
+    return _symana_run(x, levels, filters, span, w_head, tile, precision,
+                       interpret), x
+
+
+def _symana_bwd(levels, filters, span, w_head, tile, precision, interpret, x,
+                cots):
+    """out_p = where(pos < span, head_p(x[:w_head]), body_p(x)) with
+    body = zero-boundary composite analysis, so
+    dx = body^T(g . [pos >= span]) + head^T(g . [pos < span]); body^T is the
+    composite synthesis kernel with the same filters, head^T plain jnp AD."""
+    from .modwt_mxu import run_synthesis_composite
+
+    n = x.shape[-1]
+    interior = (jnp.arange(n) >= span).astype(x.dtype)
+    g_int = tuple(c * interior for c in cots)
+    dx = run_synthesis_composite(
+        g_int, levels, filters, False, tile, precision, interpret
+    )
+    head_x = _from_rows(_to_rows(x)[:, : w_head // _LANES, :])
+
+    def head_fn(hx):
+        d, a = _jnp_symmetric_cascade_filters(
+            hx, filters[0], filters[1], levels
+        )
+        return tuple(d) + (a,)
+
+    _, pull = jax.vjp(head_fn, head_x)
+    head_mask = (jnp.arange(w_head) < span).astype(x.dtype)
+    (dhx,) = pull(tuple(c[..., :w_head] * head_mask for c in cots))
+    dx = dx.at[..., :w_head].add(dhx)
+    return (dx,)
+
+
+_symana_core.defvjp(_symana_fwd, _symana_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
@@ -339,7 +759,6 @@ def fused_symmetric_synthesis(details, approx, w, *, tile: int = 65536,
             boundary="symmetric", backend="jnp",
         )
     p2 = tuple(p.reshape((-1, n)) for p in planes)
-    body = _symsyn_core(p2, dense, g, d_max, levels, prec, interpret)
 
     def window(p, rows, side):
         r = _to_rows(p)
@@ -356,6 +775,54 @@ def fused_symmetric_synthesis(details, approx, w, *, tile: int = 65536,
         window(p2[-1], w_tail // _LANES, "tail"),
     )
     tail = imodwt_multilevel(tail_res, w, boundary="symmetric", backend="jnp")
+
+    # two-sided one-pass kernel (v2): unextended plane reads + in-kernel
+    # splice — same HBM budget as the periodic synthesis kernel
+    hh8 = _round_up(max(-(-span_l // _LANES), 1), 8)
+    ht8 = _round_up(max(-(-span_r // _LANES), 1), 8)
+    h = _round_up(max(-(-g // _LANES), -(-max(d_max, 1) // _LANES), 1), 8)
+    r_rows = n // _LANES
+    tiles = (
+        _symsyn2_tiles(p2[0].shape[0], r_rows, levels, h, hh8, ht8)
+        if hh8 <= _HEAD_ROWS and ht8 <= _HEAD_ROWS
+        else None
+    )
+    if tiles is not None:
+        def slab(full, rows8, side):
+            need = rows8 * _LANES
+            m = full.shape[-1]
+            if side == "head":
+                q = (
+                    full[..., :need]
+                    if m >= need
+                    else jnp.concatenate(
+                        [full,
+                         jnp.zeros(full.shape[:-1] + (need - m,), full.dtype)],
+                        axis=-1,
+                    )
+                )
+            else:
+                q = (
+                    full[..., -need:]
+                    if m >= need
+                    else jnp.concatenate(
+                        [jnp.zeros(full.shape[:-1] + (need - m,), full.dtype),
+                         full],
+                        axis=-1,
+                    )
+                )
+            return _to_rows(q)
+
+        b_tile, tile_rows = tiles
+        out = _symsyn2_core(
+            p2, slab(head, hh8, "head"), slab(tail, ht8, "tail"),
+            dense, g, d_max, levels, span_l, span_r,
+            (b_tile, tile_rows, h), (prec, interpret),
+        )
+        return out.reshape(b_shape + (n,))
+
+    # fallback: rebased body kernel + jnp output splice (long filters)
+    body = _symsyn_core(p2, dense, g, d_max, levels, prec, interpret)
     out = jnp.concatenate(
         [
             head[..., :span_l],

@@ -1,7 +1,11 @@
 from .stream import (
+    KernelStreamingState,
     StreamingState,
     StreamingTransform,
+    kernel_history_length,
+    kernel_streaming_init,
     modwt_stream_block,
+    modwt_stream_block_kernel,
     modwt_stream_flush,
     streaming_init,
     suggest_flush_tail_length,
@@ -28,6 +32,10 @@ __all__ = [
     "StreamingTransform",
     "streaming_init",
     "modwt_stream_block",
+    "KernelStreamingState",
+    "kernel_streaming_init",
+    "kernel_history_length",
+    "modwt_stream_block_kernel",
     "modwt_stream_flush",
     "suggest_flush_tail_length",
     "SlidingStreamingTransform",
