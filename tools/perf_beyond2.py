@@ -152,13 +152,10 @@ def main() -> None:
     x11 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
 
     def pk2_denoise(z):
-        tree = vw.wpt2(z, "db4", 3)
-        basis = vw.best_basis2(tree, "shannon", threshold=0.5)
-        thr = jnp.float32(0.8)
-        return vw.reconstruct_basis2(
-            tree, basis, "db4",
-            transform_nodes=lambda lv, ix, p: jnp.sign(p)
-            * jnp.maximum(jnp.abs(p) - thr, 0.0),
+        # two-program path: jitted tree+costs, host DP, jitted reconstruct
+        return vw.best_basis_denoise2(
+            z, "db4", 3, threshold=0.8, cost="shannon", cost_threshold=0.5,
+            mode="soft",
         )
 
     np.asarray(pk2_denoise(x11))[:2]  # warm compile

@@ -67,21 +67,14 @@ def frt(precision=None):
     return fn
 
 
-print("=== fused roundtrip tile sweep (bf16_3x) ===", flush=True)
-measure("default tiles", frt())
-for tr in (256, 768, 1024):
+print("=== fused roundtrip batch-tile sweep (bf16_3x) ===", flush=True)
+measure("default tiles (b1 x 512)", frt())
+for bt, tr in ((2, 512), (2, 256), (4, 256)):
+    modwt_mxu._FORCE_B_TILE = bt
     modwt_mxu._FORCE_TILE_ROWS = tr
-    measure(f"tile_rows={tr}", frt())
+    measure(f"b_tile={bt} tile_rows={tr}", frt())
+    modwt_mxu._FORCE_B_TILE = None
     modwt_mxu._FORCE_TILE_ROWS = None
-modwt_mxu._FORCE_B_TILE = 2
-modwt_mxu._FORCE_TILE_ROWS = 256
-measure("b_tile=2 tile_rows=256", frt())
-modwt_mxu._FORCE_B_TILE = None
-modwt_mxu._FORCE_TILE_ROWS = None
-
-print("=== precision scaling ===", flush=True)
-measure("fused rt bf16 (1-pass)", frt("bf16"))
-measure("fused rt float32 (6-pass)", frt("float32"))
 
 print("=== sigma + denoise ===", flush=True)
 
@@ -91,7 +84,16 @@ def sig_only(z):
     return z + 1e-9 * s
 
 
-measure("decimated sigma alone", sig_only)
+measure("decimated sigma (bitwise median)", sig_only)
+
+from vectorwave_tpu.denoise import denoiser as dn_mod
+
+_orig_mad = dn_mod.mad_sigma
+dn_mod.mad_sigma = lambda d: jnp.median(
+    jnp.abs(d), axis=-1, keepdims=True
+) / 0.6745
+measure("decimated sigma (jnp.median)", sig_only)
+dn_mod.mad_sigma = _orig_mad
 
 
 def dn(z):
@@ -101,10 +103,61 @@ def dn(z):
 
 measure("fused denoise e2e", dn, iters=50)
 
-# separate-call roundtrip for in-process comparison
+# separate-call roundtrip for in-process comparison (also uses the
+# restructured synthesis kernel)
 def rt_sep(z):
     res = vw.modwt_multilevel(z, "db4", levels=LEVELS)
     return vw.imodwt_multilevel(res, "db4")
 
 
 measure("separate-call roundtrip", rt_sep)
+
+
+def rt_sym(z):
+    res = vw.modwt_multilevel(z, "db4", levels=LEVELS, boundary="symmetric")
+    return vw.imodwt_multilevel(res, "db4", boundary="symmetric")
+
+
+measure("symmetric v2 roundtrip", rt_sym)
+
+print("=== bank-kernel tiers (MODWPT / DTCWT) ===", flush=True)
+from vectorwave_tpu.transforms.packets import imodwpt, modwpt
+from vectorwave_tpu.transforms.dtcwt import dtcwt, idtcwt
+
+xb = jnp.asarray(rng.standard_normal((16, 16384)), jnp.float32)
+
+
+def wpt_rt(z):
+    tree = modwpt(z, "db4", 4)
+    return imodwpt(tree, "db4")
+
+
+def dt_rt(z):
+    res = dtcwt(z, "sym8", levels=4)
+    return idtcwt(res, "sym8")
+
+
+@jax.jit
+def wpt_chain(z):
+    return jax.lax.fori_loop(0, 20, lambda _, y: wpt_rt(y), z)
+
+
+@jax.jit
+def dt_chain(z):
+    return jax.lax.fori_loop(0, 20, lambda _, y: dt_rt(y), z)
+
+
+for label, chain in (("modwpt d4 rt 16x16K", wpt_chain),
+                     ("dtcwt 4L rt 16x16K", dt_chain)):
+    try:
+        np.asarray(chain(xb)[0, :2])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(chain(xb)[0, :2])
+            ts.append(time.perf_counter() - t0)
+        ms = float(np.median(ts)) / 20 * 1e3
+        print(f"{label}: {ms:.3f} ms  {16*16384/ms/1e3:.0f} Ms/s", flush=True)
+    except Exception as exc:  # noqa: BLE001
+        print(f"{label}: FAILED {type(exc).__name__}: {str(exc)[:140]}",
+              flush=True)

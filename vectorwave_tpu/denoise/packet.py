@@ -16,6 +16,13 @@ honest when narrowband signal occupies some bands (a single-band MAD, the
 MODWT denoiser's estimator, overestimates sigma ~2x there).  The DC-path
 node ``(j, 0)`` passes through untouched (the approximation, as in the
 MODWT denoiser).
+
+Execution shape (round-4 restructure): the tree + cost table + noise floor
+is ONE jitted device program, the Coifman–Wickerhauser DP runs host-side on
+its tiny output, and the shrink+reconstruct from the chosen basis is a
+second jitted program (compiled per basis structure, cached) — the eager
+round-3 composition paid ~85 per-op tunnel dispatches (~30 ms each) and the
+256x256 depth-3 denoise took 3.1 s of pure dispatch.
 """
 
 from __future__ import annotations
@@ -26,10 +33,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.thresholds import apply_threshold, mad_sigma, select_threshold
-from ..transforms.packets import best_basis, modwpt, reconstruct_basis
-from ..transforms.packets2d import best_basis2, reconstruct_basis2, wpt2
+from ..transforms.packets import (
+    WaveletPacketTree,
+    best_basis,
+    modwpt,
+    reconstruct_basis,
+)
+from ..transforms.packets2d import (
+    WaveletPacket2DTree,
+    _EPS,
+    _node_costs,
+    best_basis2,
+    reconstruct_basis2,
+    wpt2,
+)
 
 __all__ = ["denoise_packet", "denoise_packet2"]
+
+_jit_cache: dict = {}
 
 
 def _noise_floor_sigma(tree) -> jnp.ndarray:
@@ -38,6 +59,31 @@ def _noise_floor_sigma(tree) -> jnp.ndarray:
     depth = tree.depth
     mads = mad_sigma(tree.levels[depth])[..., 0]  # [..., 2^J]
     return jnp.median(mads, axis=-1, keepdims=True) * math.sqrt(2.0**depth)
+
+
+def _host_best_basis(tables: list[np.ndarray], depth: int,
+                     arity: int) -> tuple[tuple[int, int], ...]:
+    """Bottom-up Coifman–Wickerhauser DP on host-side cost tables."""
+    best_cost = tables[depth].astype(np.float64).copy()
+    choice: list[np.ndarray] = [None] * (depth + 1)  # type: ignore[list-item]
+    choice[depth] = np.ones(arity**depth, dtype=bool)
+    for j in range(depth - 1, -1, -1):
+        own = tables[j].astype(np.float64)
+        children = best_cost.reshape(-1, arity).sum(axis=1)
+        keep = own <= children
+        choice[j] = keep
+        best_cost = np.where(keep, own, children)
+    basis: list[tuple[int, int]] = []
+
+    def _collect(level: int, idx: int) -> None:
+        if choice[level][idx]:
+            basis.append((level, idx))
+        else:
+            for k in range(arity):
+                _collect(level + 1, arity * idx + k)
+
+    _collect(0, 0)
+    return tuple(basis)
 
 
 def denoise_packet(
@@ -58,18 +104,58 @@ def denoise_packet(
     tend to keep the root on noisy inputs, which would make the denoiser a
     no-op).  The basis search runs host-side on the node cost table
     (data-dependent structure selection); analysis, shrinkage and synthesis
-    are jittable jnp graphs like every other denoiser in the package.
+    are two jitted device programs.
     """
-    tree = modwpt(x, wavelet, levels, boundary=boundary)
-    sigma = _noise_floor_sigma(tree)
-    n = x.shape[-1]
-    thr = float(
-        jnp.mean(sigma)
-        * math.sqrt(2.0 * math.log(n))
-        / math.sqrt(2.0**levels)
-    )
-    basis = best_basis(tree, cost=cost, threshold=thr)
+    import jax
 
+    from ..transforms.modwt import _resolve_discrete
+
+    w = _resolve_discrete(wavelet)
+    if callable(cost):  # legacy callable costs: eager path
+        tree = modwpt(x, w, levels, boundary=boundary)
+        sigma = _noise_floor_sigma(tree)
+        basis = best_basis(tree, cost=cost)
+        return _reconstruct_shrunk_1d(tree, basis, w, sigma, method, mode,
+                                      boundary)
+    key = ("pk1fwd", w.name, levels, cost, boundary, x.shape, str(x.dtype))
+    fwd = _jit_cache.get(key)
+    if fwd is None:
+        def _fwd(z):
+            tree = modwpt(z, w, levels, boundary=boundary)
+            sigma = _noise_floor_sigma(tree)
+            thr = (
+                jnp.mean(sigma)
+                * jnp.sqrt(2.0 * jnp.log(float(z.shape[-1])))
+                / jnp.sqrt(2.0**levels)
+            )
+            root_energy = jnp.sum(tree.levels[0] ** 2) + _EPS
+            tables = tuple(
+                _node_costs(lvl, cost, thr, root_energy, axes=(-1,)).sum(
+                    axis=tuple(range(lvl.ndim - 2))
+                )
+                for lvl in tree.levels
+            )
+            return tree.levels, tables, sigma
+
+        fwd = _jit_cache[key] = jax.jit(_fwd)
+    tree_levels, tables_dev, sigma = fwd(x)
+    tables = [np.asarray(t) for t in jax.device_get(list(tables_dev))]
+    basis = _host_best_basis(tables, levels, 2)
+
+    rkey = ("pk1rec", w.name, levels, boundary, method, mode, basis, x.shape,
+            str(x.dtype))
+    rec = _jit_cache.get(rkey)
+    if rec is None:
+        def _rec(lvls, sg):
+            return _reconstruct_shrunk_1d(
+                WaveletPacketTree(lvls), basis, w, sg, method, mode, boundary
+            )
+
+        rec = _jit_cache[rkey] = jax.jit(_rec)
+    return rec(tree_levels, sigma)
+
+
+def _reconstruct_shrunk_1d(tree, basis, w, sigma, method, mode, boundary):
     def shrink(level: int, idx: int, coeffs: jnp.ndarray) -> jnp.ndarray:
         if idx == 0:  # DC path: pure approximation, pass through
             return coeffs
@@ -78,7 +164,7 @@ def denoise_packet(
         return apply_threshold(coeffs, threshold, mode)
 
     return reconstruct_basis(
-        tree, basis, wavelet, boundary=boundary, transform_nodes=shrink
+        tree, basis, w, boundary=boundary, transform_nodes=shrink
     )
 
 
@@ -115,15 +201,59 @@ def denoise_packet2(
     shift-invariant — use :func:`..transforms.twodim.denoise2` (MODWT-based)
     when shift invariance matters more than the adaptive tiling.
     """
-    tree = wpt2(x, wavelet, levels, boundary=boundary)
-    leaves = tree.leaves
-    flat = leaves.reshape(leaves.shape[:-2] + (-1,))  # [..., 4^J, h*w]
-    sigma = jnp.median(mad_sigma(flat)[..., 0], axis=-1, keepdims=True)
+    import jax
 
+    from ..transforms.modwt import _resolve_discrete
+
+    w = _resolve_discrete(wavelet)
     n_total = x.shape[-1] * x.shape[-2]
-    thr = float(jnp.mean(sigma) * math.sqrt(2.0 * math.log(n_total)))
-    basis = best_basis2(tree, cost=cost, threshold=thr)
+    if callable(cost):  # legacy callable costs: eager path
+        tree = wpt2(x, w, levels, boundary=boundary)
+        leaves = tree.leaves
+        flat = leaves.reshape(leaves.shape[:-2] + (-1,))
+        sigma = jnp.median(mad_sigma(flat)[..., 0], axis=-1, keepdims=True)
+        basis = best_basis2(tree, cost=cost)
+        return _reconstruct_shrunk_2d(tree, basis, w, sigma, n_total, method,
+                                      mode, boundary)
+    key = ("pk2fwd", w.name, levels, cost, boundary, x.shape, str(x.dtype))
+    fwd = _jit_cache.get(key)
+    if fwd is None:
+        def _fwd(z):
+            tree = wpt2(z, w, levels, boundary=boundary)
+            leaves = tree.leaves
+            flat = leaves.reshape(leaves.shape[:-2] + (-1,))
+            sigma = jnp.median(mad_sigma(flat)[..., 0], axis=-1, keepdims=True)
+            thr = jnp.mean(sigma) * jnp.sqrt(2.0 * jnp.log(float(n_total)))
+            root_energy = jnp.sum(tree.levels[0] ** 2) + _EPS
+            tables = tuple(
+                _node_costs(lvl, cost, thr, root_energy).sum(
+                    axis=tuple(range(lvl.ndim - 3))
+                )
+                for lvl in tree.levels
+            )
+            return tree.levels, tables, sigma
 
+        fwd = _jit_cache[key] = jax.jit(_fwd)
+    tree_levels, tables_dev, sigma = fwd(x)
+    tables = [np.asarray(t) for t in jax.device_get(list(tables_dev))]
+    basis = _host_best_basis(tables, levels, 4)
+
+    rkey = ("pk2rec", w.name, levels, boundary, method, mode, basis, x.shape,
+            str(x.dtype))
+    rec = _jit_cache.get(rkey)
+    if rec is None:
+        def _rec(lvls, sg):
+            return _reconstruct_shrunk_2d(
+                WaveletPacket2DTree(lvls), basis, w, sg, n_total, method,
+                mode, boundary,
+            )
+
+        rec = _jit_cache[rkey] = jax.jit(_rec)
+    return rec(tree_levels, sigma)
+
+
+def _reconstruct_shrunk_2d(tree, basis, w, sigma, n_total, method, mode,
+                           boundary):
     def shrink(level: int, idx: int, plane: jnp.ndarray) -> jnp.ndarray:
         if idx == 0:  # DC path: pure approximation, pass through
             return plane
@@ -135,5 +265,5 @@ def denoise_packet2(
         return apply_threshold(vec, threshold, mode).reshape(plane.shape)
 
     return reconstruct_basis2(
-        tree, basis, wavelet, boundary=boundary, transform_nodes=shrink
+        tree, basis, w, boundary=boundary, transform_nodes=shrink
     )

@@ -938,11 +938,16 @@ def _composite_synthesis_call(
     plane_bands = [_band_single(p, sign=+1) for p in planes]
     all_e = sorted({e for pb in plane_bands for e in pb})  # 0, 1, 2, ...
     e_max = all_e[-1]
-    groups = []  # (shift, members, M_e vstack [128k, 128])
+    # per-(offset, plane) matrices: the kernel dots each plane window
+    # directly (operand split hoisted per plane) and rolls the f32 PARTIAL
+    # SUM once per offset — roll and contraction commute, and this removes
+    # the per-(offset, plane) view rolls + lane-concats that made the
+    # kernel's fixed (precision-independent) VPU cost ~18% of its runtime
+    groups = []  # (shift, members, [M_e per member])
     for e in all_e:
         members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
-        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=0)
-        groups.append((e_max - e, members, m_cat))
+        groups.append((e_max - e, members,
+                       [plane_bands[pi][e] for pi in members]))
 
     b, r_total, _ = coeffs[0].shape
     r_out = r_total if inline_halo else r_total - halo_rows
@@ -952,9 +957,12 @@ def _composite_synthesis_call(
     total_steps = (b // b_tile) * num_t
     dtype = coeffs[0].dtype
     group_consts: list[jnp.ndarray] = []
-    for _, _, m in groups:
-        group_consts.extend(_const_terms(m, precision))
-    cpg = len(group_consts) // len(groups)
+    n_mats = 0
+    for _, _, ms in groups:
+        for m in ms:
+            group_consts.extend(_const_terms(m, precision))
+            n_mats += 1
+    cpg = len(group_consts) // n_mats
     external = edge == "external"
     halo_inputs = (halo,) if external else ()
 
@@ -1066,17 +1074,24 @@ def _composite_synthesis_call(
             scratch[li % 2, i].reshape(b_tile * window_rows, _LANES)
             for i in range(n_planes)
         ]
+        parts = [_prep_operand(f, precision) for f in flats]
         # accumulated-shift coords: out'[r] = out[r - e_max]; all shifts >= 0
         acc = None
-        for gi, (shift, members, _) in enumerate(groups):
-            views = [_shift_rows(flats[pi], shift) for pi in members]
-            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
-            term = _dot_prepped(cat, g_refs[gi * cpg : (gi + 1) * cpg], precision)
-            acc = term if acc is None else acc + term
+        ci = 0
+        for shift, members, _ in groups:
+            s = None
+            for pi in members:
+                term = _dot_parts(
+                    parts[pi], g_refs[ci * cpg : (ci + 1) * cpg], precision
+                )
+                ci += 1
+                s = term if s is None else s + term
+            s = _shift_rows(s, shift)  # roll the f32 partial AFTER the dots
+            acc = s if acc is None else acc + s
         acc = _shift_rows(acc.astype(dtype), halo_rows - e_max)
         out_ref[:] = acc.reshape(b_tile, window_rows, _LANES)[:, halo_rows:, :]
 
-    macs = sum(m.shape[0] for _, _, m in groups) * _LANES
+    macs = sum(len(ms) for _, _, ms in groups) * _LANES * _LANES
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1127,7 +1142,8 @@ def _pad_halo_rows(halo, halo_pad: int, side: str):
 
 
 def run_analysis_composite(x, levels, filters, periodic, tile, precision,
-                           interpret, halo=None, head_splice=None):
+                           interpret, halo=None, head_splice=None,
+                           planes_override=None):
     """[B, N] composite-filter analysis; arbitrary N; periodic/zero.
 
     When N is a whole number of row tiles the kernel fetches its own halos
@@ -1142,11 +1158,20 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
     ``[levels+1, B, hr8, 128]`` precomputed plane values whose first
     ``span`` samples overwrite every plane's head in-kernel (the symmetric
     tier's edge splice; ``hr8`` must not exceed the row tile).
+
+    ``planes_override``: optional tuple of dense causal tap tuples served
+    DIRECTLY as the per-plane filters (one output plane per entry; the
+    packet/DTCWT tier's single-stage à trous pairs).  ``levels`` must be
+    ``len(planes_override) - 1`` so tiling/cost accounting stays right.
     """
     b, n = x.shape
-    filter_length = len(filters[0])
-    span = composite_halo_samples(filter_length, levels)
-    halo_rows = _composite_halo_rows(filter_length, levels)
+    if planes_override is not None:
+        span = max(len(p) for p in planes_override) - 1
+        halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    else:
+        filter_length = len(filters[0])
+        span = composite_halo_samples(filter_length, levels)
+        halo_rows = _composite_halo_rows(filter_length, levels)
     halo_pad = halo_rows * _LANES
     b_tile, tile_rows = _auto_tiles(
         b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
@@ -1173,6 +1198,7 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
             edge=edge,
             inline_halo=True,
             head_samples=head_samples,
+            planes_override=planes_override,
         )
         return tuple(_from_rows(o) for o in outs)
     n_pad = _round_up(n, tile_rows * _LANES)
@@ -1201,20 +1227,28 @@ def run_analysis_composite(x, levels, filters, periodic, tile, precision,
         edge="zero" if external else edge,
         inline_halo=False,
         head_samples=head_samples,
+        planes_override=planes_override,
     )
     return tuple(_from_rows(o)[..., :n] for o in outs)
 
 
 def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
-                            precision, interpret, halo=None):
+                            precision, interpret, halo=None,
+                            planes_override=None):
     """Tuple of [B, N] planes -> [B, N]; arbitrary N; periodic/zero.
 
     ``halo``: optional tuple of [B, >=span] RIGHT-neighbor samples per plane
     (samples just right of each plane's end).  Overrides ``periodic``.
+    ``planes_override``: dense causal per-plane filters (see the analysis
+    wrapper) — the synthesis reads forward with the same taps.
     """
     b, n = coeff_planes[0].shape
-    filter_length = len(filters[0])
-    halo_rows = _composite_halo_rows(filter_length, levels)
+    if planes_override is not None:
+        span = max(len(pp) for pp in planes_override) - 1
+        halo_rows = _round_up(max(-(-span // _LANES), 1), 8)
+    else:
+        filter_length = len(filters[0])
+        halo_rows = _composite_halo_rows(filter_length, levels)
     halo_pad = halo_rows * _LANES
     b_tile, tile_rows = _auto_tiles(
         b, levels, halo_rows, -(-n // _LANES), max(1, tile // _LANES),
@@ -1242,6 +1276,7 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
             interpret=interpret,
             edge=edge,
             inline_halo=True,
+            planes_override=planes_override,
         )
         return _from_rows(out)
     n_pad = _round_up(n, tile_rows * _LANES)
@@ -1274,6 +1309,7 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
         interpret=interpret,
         edge="zero" if external else edge,
         inline_halo=False,
+        planes_override=planes_override,
     )
     return _from_rows(out)[..., :n]
 
@@ -1337,11 +1373,11 @@ def _composite_denoise_call(
         groups_a.append((-e, members, m_cat))
     all_es = sorted({e for pb in bands_s for e in pb})
     e_max = all_es[-1]
-    groups_s = []
+    groups_s = []  # (shift, members, [M per member]) — roll-after-dot form
     for e in all_es:
         members = [pi for pi in range(n_planes) if e in bands_s[pi]]
-        m_cat = np.concatenate([bands_s[pi][e] for pi in members], axis=0)
-        groups_s.append((e_max - e, members, m_cat))
+        groups_s.append((e_max - e, members,
+                         [bands_s[pi][e] for pi in members]))
 
     b, r_total, _ = x.shape
     window_rows = tile_rows + 2 * halo_rows
@@ -1353,9 +1389,11 @@ def _composite_denoise_call(
     group_consts: list[jnp.ndarray] = []
     for _, _, m in groups_a:
         group_consts.extend(_const_terms(m, precision))
-    for _, _, m in groups_s:
-        group_consts.extend(_const_terms(m, precision))
-    cpg = len(group_consts) // (len(groups_a) + len(groups_s))
+    cpg = len(group_consts) // len(groups_a)
+    n_a_consts = len(group_consts)
+    for _, _, ms in groups_s:
+        for m in ms:
+            group_consts.extend(_const_terms(m, precision))
 
     def kernel(x_hbm, th_ref, *rest):
         g_refs = rest[: len(group_consts)]
@@ -1431,15 +1469,19 @@ def _composite_denoise_call(
             ).astype(jnp.float32)
             keep = jnp.tile(keep, (b_tile, 1))
             shrunk = [p * keep for p in shrunk]
+        shrunk_parts = [_prep_operand(p, precision) for p in shrunk]
         acc = None
-        off = len(groups_a)
-        for gj, (shift, members, _) in enumerate(groups_s):
-            views = [_shift_rows(shrunk[pi], shift) for pi in members]
-            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
-            term = _dot_prepped(
-                cat, g_refs[(off + gj) * cpg : (off + gj + 1) * cpg], precision
-            )
-            acc = term if acc is None else acc + term
+        ci = n_a_consts
+        for shift, members, _ in groups_s:
+            s = None
+            for pi in members:
+                term = _dot_parts(
+                    shrunk_parts[pi], g_refs[ci : ci + cpg], precision
+                )
+                ci += cpg
+                s = term if s is None else s + term
+            s = _shift_rows(s, shift)
+            acc = s if acc is None else acc + s
         acc = _shift_rows(acc.astype(dtype), halo_rows - e_max)
         out_ref[:] = acc.reshape(b_tile, window_rows, _LANES)[
             :, 2 * halo_rows :, :
@@ -1447,7 +1489,7 @@ def _composite_denoise_call(
 
     macs = (
         sum(m.shape[1] for _, _, m in groups_a)
-        + sum(m.shape[0] for _, _, m in groups_s)
+        + sum(len(ms) * _LANES for _, _, ms in groups_s)
     ) * _LANES
     out = pl.pallas_call(
         kernel,

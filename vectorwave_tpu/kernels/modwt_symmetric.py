@@ -285,11 +285,11 @@ def _symsyn2_call(
     all_e = sorted({e for pb in plane_bands for e in pb})
     e_min, e_max = all_e[0], all_e[-1]
     assert -halo_rows <= e_min and e_max <= halo_rows
-    groups = []  # (shift, members, M vstack)
+    groups = []  # (shift, members, [M per member]) — roll-after-dot form
     for e in all_e:
         members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
-        m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=0)
-        groups.append((e_max - e, members, m_cat))
+        groups.append((e_max - e, members,
+                       [plane_bands[pi][e] for pi in members]))
 
     b, r, _ = coeffs[0].shape
     h = halo_rows
@@ -301,9 +301,12 @@ def _symsyn2_call(
     hh8 = head.shape[1]
     ht8 = tail.shape[1]
     group_consts: list[jnp.ndarray] = []
-    for _, _, m in groups:
-        group_consts.extend(_const_terms(m, precision))
-    cpg = len(group_consts) // len(groups)
+    n_mats = 0
+    for _, _, ms in groups:
+        for m in ms:
+            group_consts.extend(_const_terms(m, precision))
+            n_mats += 1
+    cpg = len(group_consts) // n_mats
 
     def kernel(*refs):
         coeff_hbm = refs[:n_planes]
@@ -413,12 +416,21 @@ def _symsyn2_call(
             scratch[li % 2, i].reshape(b_tile * window_rows, _LANES)
             for i in range(n_planes)
         ]
+        from .modwt_mxu import _dot_parts, _prep_operand
+
+        parts = [_prep_operand(f, precision) for f in flats]
         acc = None
-        for gi, (shift, members, _) in enumerate(groups):
-            views = [_shift_rows(flats[pi], shift) for pi in members]
-            cat = views[0] if len(views) == 1 else jnp.concatenate(views, axis=1)
-            term = _dot_prepped(cat, g_refs[gi * cpg : (gi + 1) * cpg], precision)
-            acc = term if acc is None else acc + term
+        ci = 0
+        for shift, members, _ in groups:
+            s = None
+            for pi in members:
+                term = _dot_parts(
+                    parts[pi], g_refs[ci * cpg : (ci + 1) * cpg], precision
+                )
+                ci += 1
+                s = term if s is None else s + term
+            s = _shift_rows(s, shift)
+            acc = s if acc is None else acc + s
         # out_tile[q] = acc[h + q + e_max]: roll by (h - e_max), slice [2h:)
         accd = _shift_rows(acc.astype(dtype), h - e_max)
         out3 = accd.reshape(b_tile, window_rows, _LANES)[:, 2 * h :, :]
@@ -442,7 +454,7 @@ def _symsyn2_call(
             [head_part, out3[:, hh8 : tile_rows - ht8, :], tail_part], axis=1
         )
 
-    macs = sum(m.shape[0] for _, _, m in groups) * _LANES
+    macs = sum(len(ms) * _LANES for _, _, ms in groups) * _LANES
     out = pl.pallas_call(
         kernel,
         grid=grid,

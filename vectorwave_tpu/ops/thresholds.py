@@ -49,7 +49,15 @@ def apply_threshold(coeffs: jnp.ndarray, threshold, mode: str = "soft") -> jnp.n
 
 
 def _middle_order_stats(v: jnp.ndarray) -> jnp.ndarray:
-    """[..., R] middle order statistic(s) of |v| (R = 2 for even n)."""
+    """[..., R] middle order statistic(s) of |v| (R = 2 for even n).
+
+    Radix-16 MSB->LSB search on the int32 bit pattern (non-negative f32
+    order-matches its bits): 8 sequential counting passes instead of the
+    round-3 bitwise search's 31 — each pass counts strictly-below for the
+    15 candidate nibble extensions at once (monotone in the nibble, so the
+    nibble is just the number of satisfied candidates).  Bit-exact order
+    statistics, guarded against jnp.median in tests.
+    """
     import jax
 
     mag = jnp.abs(v)
@@ -61,20 +69,22 @@ def _middle_order_stats(v: jnp.ndarray) -> jnp.ndarray:
     # ranks (1-indexed) of the middle order statistic(s)
     ks = (n // 2, n // 2 + 1) if n % 2 == 0 else (n // 2 + 1,)
     k_arr = jnp.asarray(ks, dtype=jnp.int32)  # [R]
-    cand0 = jnp.zeros(lead + (len(ks),), jnp.int32)
-
-    def body(i, cand):
-        bit = jnp.int32(1) << (30 - i)
-        trial = cand | bit  # [..., R]
-        # count strictly-below per rank: [..., N] vs [..., R]
+    cand = jnp.zeros(lead + (len(ks),), jnp.int32)
+    # bit 31 is the sign (always 0 for magnitudes): groups cover bits 30..0
+    groups = ((28, 8),) + tuple((p, 16) for p in range(24, -1, -4))
+    for p, m in groups:
+        js = jnp.arange(1, m, dtype=jnp.int32) << p  # [m-1]
+        trials = cand[..., :, None] | js  # [..., R, m-1]
         cnt = jnp.sum(
-            (bits[..., :, None] < trial[..., None, :]).astype(jnp.int32),
-            axis=-2,
+            (bits[..., :, None, None] < trials[..., None, :, :]),
+            axis=-3, dtype=jnp.int32,
+        )  # [..., R, m-1]
+        # f(trial) < k is monotone non-increasing in the nibble value, so
+        # the chosen nibble = number of candidates still below rank k
+        nibble = jnp.sum(
+            (cnt < k_arr[..., :, None]), axis=-1, dtype=jnp.int32
         )
-        keep = cnt < k_arr  # candidate bit stays iff rank not yet passed
-        return jnp.where(keep, trial, cand)
-
-    cand = jax.lax.fori_loop(0, 31, body, cand0)
+        cand = cand | (nibble << p)
     return jax.lax.bitcast_convert_type(cand, jnp.float32)
 
 

@@ -110,6 +110,149 @@ def dtcwt_max_levels(n: int, wavelet="sym8") -> int:
     return levels
 
 
+# ---------------------------------------------------------------------------
+# Kernel tier: the whole decimated tree as ONE full-rate composite bank call.
+# A decimated cascade composes exactly like the a trous one (h(z)h(z^2)...),
+# so level-j outputs are c_j[i] = (F_j *fwd x)[2^j i + phi_j] with F_j the
+# upsampled-composed filter and phi_j the accumulated stage offsets.  The
+# composite MXU analysis kernel (planes_override, backward reads) serves the
+# forward-read bank via reversed taps + a per-plane roll; subsampling is a
+# strided slice.  The inverse is the exact adjoint: zero-stuff each plane at
+# its phase and run the synthesis bank with the same reversed taps (the
+# synthesis kernel IS the transpose of the analysis kernel).  Wasteful in
+# FLOPs vs decimation (full rate at every level) but runs at the composite
+# kernel's rate class instead of the per-tap jnp roll cascade — the
+# round-3 BENCH_BEYOND DTCWT row sat at 52 Ms/s for exactly that reason.
+# ---------------------------------------------------------------------------
+
+
+def _tree_stage_filters(wavelet, levels: int, tree: str):
+    """[(h, g, offset)] per stage for tree 'a' or 'b'."""
+    h1, g1 = _level1(wavelet)
+    hq, gq = qshift_filters()
+    if tree == "a":
+        stages = [(h1, g1, 0)] + [(hq, gq, 0)] * (levels - 1)
+    else:
+        stages = [(h1, g1, 1)] + [
+            (hq[::-1], gq[::-1], 0) for _ in range(levels - 1)
+        ]
+    return stages
+
+
+def _composed_tree_planes(stages):
+    """Composed full-rate plane filters [(taps, phi, level)] for
+    [d1..dJ, aJ] of one decimated tree."""
+    def up(f, s):
+        arr = np.zeros(s * (len(f) - 1) + 1, dtype=np.float64)
+        arr[::s] = f
+        return arr
+
+    acc = np.array([1.0])
+    phi = 0
+    planes = []
+    for k, (h, g, off) in enumerate(stages, start=1):
+        s = 1 << (k - 1)
+        phi_k = phi + s * off
+        planes.append((np.convolve(acc, up(g, s)), phi_k, k))
+        acc = np.convolve(acc, up(h, s))
+        phi = phi_k
+    planes.append((acc, phi, len(stages)))
+    return planes
+
+
+def _dtcwt_kernel_eligible(n: int, dtype, span: int) -> bool:
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    if dtype not in (jnp.float32,):
+        return False
+    if n % 128 != 0 or n < max(2 * span, 256):
+        return False
+    if backend == "auto" and not pallas_available():
+        return False
+    return True
+
+
+def _dtcwt_kernel_analysis(x, wavelet, levels: int):
+    """Both trees' full decomposition via two composite bank calls, or None."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+    from .packets import _bank_ana_core
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.reshape(-1, n)
+    trees = {}
+    for tree in ("a", "b"):
+        planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
+        span = max(len(t) for t, _, _ in planes) - 1
+        if not _dtcwt_kernel_eligible(n, x2.dtype, span):
+            return None
+        dense_rev = tuple(tuple(t[::-1].tolist()) for t, _, _ in planes)
+        y = _bank_ana_core(
+            x2, dense_rev, True, get_fused_precision(), not pallas_available()
+        )
+        outs = []
+        for (taps, phi, level), y_p in zip(planes, y):
+            psi = (phi + len(taps) - 1) % n
+            outs.append(
+                jnp.roll(y_p, -psi, axis=-1)[..., :: 1 << level].reshape(
+                    lead + (n >> level,)
+                )
+            )
+        trees[tree] = outs
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    highpasses = tuple(
+        (trees["a"][j] - 1j * trees["b"][j]) * inv_sqrt2 for j in range(levels)
+    )
+    return DTCWTResult(highpasses, trees["a"][levels], trees["b"][levels])
+
+
+def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
+    """Adjoint of :func:`_dtcwt_kernel_analysis`: one synthesis bank per
+    tree on zero-stuffed planes.  Returns None when ineligible."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+    from .packets import _bank_syn_core
+
+    levels = result.levels
+    lead = result.lowpass_a.shape[:-1]
+    n = result.highpasses[0].shape[-1] * 2
+    sqrt2 = math.sqrt(2.0)
+    outs = []
+    for tree in ("a", "b"):
+        planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
+        span = max(len(t) for t, _, _ in planes) - 1
+        if not _dtcwt_kernel_eligible(n, result.lowpass_a.dtype, span):
+            return None
+        dense_rev = tuple(tuple(t[::-1].tolist()) for t, _, _ in planes)
+        coeffs = [
+            (sqrt2 * jnp.real(z)) if tree == "a" else (-sqrt2 * jnp.imag(z))
+            for z in result.highpasses
+        ] + [result.lowpass_a if tree == "a" else result.lowpass_b]
+        stuffed = []
+        for (taps, phi, level), c in zip(planes, coeffs):
+            c2 = c.reshape(-1, c.shape[-1]).astype(jnp.float32)
+            stride = 1 << level
+            psi = (phi + len(taps) - 1) % n
+            q, s0 = divmod(psi, stride)
+            buf = jnp.zeros((c2.shape[0], n), jnp.float32)
+            buf = buf.at[..., s0::stride].set(
+                jnp.roll(c2, q % c2.shape[-1], axis=-1)
+            )
+            stuffed.append(buf)
+        outs.append(
+            _bank_syn_core(
+                tuple(stuffed), dense_rev, True, get_fused_precision(),
+                not pallas_available(),
+            ).reshape(lead + (n,))
+        )
+    return 0.5 * (outs[0] + outs[1])
+
+
 def dtcwt(
     x: jnp.ndarray,
     wavelet="sym8",
@@ -135,6 +278,9 @@ def dtcwt(
             f"N={n} must be divisible by 2^levels={1 << levels}",
             suggestions=("Pad the signal or reduce levels",),
         )
+    kernel_res = _dtcwt_kernel_analysis(x, wavelet, levels)
+    if kernel_res is not None:
+        return kernel_res
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
     highpasses = []
     cur_a = cur_b = x
@@ -156,6 +302,9 @@ def dtcwt(
 
 def idtcwt(result: DTCWTResult, wavelet="sym8") -> jnp.ndarray:
     """Inverse DTCWT: exact adjoint cascade per tree, averaged."""
+    kernel_out = _dtcwt_kernel_synthesis(result, wavelet)
+    if kernel_out is not None:
+        return kernel_out
     h1, g1 = _level1(wavelet)
     hq, gq = qshift_filters()
     sqrt2 = math.sqrt(2.0)

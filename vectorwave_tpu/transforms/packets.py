@@ -28,9 +28,11 @@ energy (periodic boundary), and synthesis is the exact adjoint.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Callable, NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -175,6 +177,126 @@ def iwpt(
 # ---------------------------------------------------------------------------
 
 
+def _upsampled_taps(f: np.ndarray, spacing: int) -> tuple[float, ...]:
+    arr = np.zeros(spacing * (len(f) - 1) + 1, dtype=np.float64)
+    arr[::spacing] = np.asarray(f, dtype=np.float64)
+    return tuple(arr.tolist())
+
+
+def _pair_kernel_ok(flat, boundary: str, span: int) -> bool:
+    """Can the composite MXU kernel serve this à trous pair?"""
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    if not boundary.lower().startswith(("per", "zero")):
+        return False
+    if flat.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    n = flat.shape[-1]
+    if n % 128 != 0 or n < max(2 * span, 256):
+        return False
+    if backend == "auto" and not pallas_available():
+        return False
+    return True
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _bank_ana_core(flat, dense, periodic, precision, interpret):
+    """Batched filter-bank analysis [B, N] -> len(dense) planes through the
+    composite MXU kernel (``planes_override``).  Differentiable: the adjoint
+    of a backward-reading bank is the forward-reading bank with the same
+    taps (one synthesis kernel pass)."""
+    from ..kernels.modwt_mxu import run_analysis_composite
+
+    return run_analysis_composite(
+        flat, len(dense) - 1, ((1.0,), (1.0,)), periodic, 65536, precision,
+        interpret, planes_override=dense,
+    )
+
+
+def _bank_ana_fwd(flat, dense, periodic, precision, interpret):
+    return _bank_ana_core(flat, dense, periodic, precision, interpret), None
+
+
+def _bank_ana_bwd(dense, periodic, precision, interpret, _, cots):
+    from ..kernels.modwt_mxu import run_synthesis_composite
+
+    return (run_synthesis_composite(
+        tuple(cots), len(dense) - 1, ((1.0,), (1.0,)), periodic, 65536,
+        precision, interpret, planes_override=dense,
+    ),)
+
+
+_bank_ana_core.defvjp(_bank_ana_fwd, _bank_ana_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _bank_syn_core(planes, dense, periodic, precision, interpret):
+    """Batched filter-bank synthesis (forward reads): sum_p plane_p * f_p."""
+    from ..kernels.modwt_mxu import run_synthesis_composite
+
+    return run_synthesis_composite(
+        tuple(planes), len(dense) - 1, ((1.0,), (1.0,)), periodic, 65536,
+        precision, interpret, planes_override=dense,
+    )
+
+
+def _bank_syn_fwd(planes, dense, periodic, precision, interpret):
+    return _bank_syn_core(planes, dense, periodic, precision, interpret), None
+
+
+def _bank_syn_bwd(dense, periodic, precision, interpret, _, cot):
+    from ..kernels.modwt_mxu import run_analysis_composite
+
+    return (tuple(run_analysis_composite(
+        cot, len(dense) - 1, ((1.0,), (1.0,)), periodic, 65536, precision,
+        interpret, planes_override=dense,
+    )),)
+
+
+_bank_syn_core.defvjp(_bank_syn_fwd, _bank_syn_bwd)
+
+
+def _pair_analysis_kernel(flat, low, high, spacing: int, boundary: str):
+    """One batched à trous analysis pair [B, N] -> (lo, hi) through the
+    composite MXU kernel (``planes_override`` = the two upsampled filters —
+    a packet level is 2^(j-1) independent pairs riding the batch axis,
+    reference scale anchor: the batch SoA kernels,
+    BatchSIMDMODWT.java:22-28).  Returns None when ineligible."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+
+    dense_lo = _upsampled_taps(low, spacing)
+    dense_hi = _upsampled_taps(high, spacing)
+    span = max(len(dense_lo), len(dense_hi)) - 1
+    if not _pair_kernel_ok(flat, boundary, span):
+        return None
+    outs = _bank_ana_core(
+        flat, (dense_lo, dense_hi), boundary.lower().startswith("per"),
+        get_fused_precision(), not pallas_available(),
+    )
+    return outs[0], outs[1]
+
+
+def _pair_synthesis_kernel(lo, hi, low, high, spacing: int, boundary: str):
+    """Adjoint stage: lo*low + hi*high with forward reads, kernel tier."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+
+    dense_lo = _upsampled_taps(low, spacing)
+    dense_hi = _upsampled_taps(high, spacing)
+    span = max(len(dense_lo), len(dense_hi)) - 1
+    if not _pair_kernel_ok(lo, boundary, span):
+        return None
+    return _bank_syn_core(
+        (lo, hi), (dense_lo, dense_hi), boundary.lower().startswith("per"),
+        get_fused_precision(), not pallas_available(),
+    )
+
+
 def modwpt(
     x: jnp.ndarray,
     wavelet,
@@ -195,10 +317,18 @@ def modwpt(
     high = w.dec_hi * _INV_SQRT2
     nodes = x[..., None, :]
     tree = [nodes]
+    n = x.shape[-1]
     for j in range(1, levels + 1):
-        lo, hi = atrous_analysis_pair(
-            nodes, low, high, spacing=1 << (j - 1), boundary=boundary
-        )
+        spacing = 1 << (j - 1)
+        flat = nodes.reshape(-1, n)
+        pair = _pair_analysis_kernel(flat, low, high, spacing, boundary)
+        if pair is not None:
+            lo = pair[0].reshape(nodes.shape)
+            hi = pair[1].reshape(nodes.shape)
+        else:
+            lo, hi = atrous_analysis_pair(
+                nodes, low, high, spacing=spacing, boundary=boundary
+            )
         nodes = jnp.stack([lo, hi], axis=-2).reshape(
             nodes.shape[:-2] + (2 * nodes.shape[-2], nodes.shape[-1])
         )
@@ -213,6 +343,12 @@ def _imodwpt_pair(
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     pairs = nodes.reshape(nodes.shape[:-2] + (nodes.shape[-2] // 2, 2, nodes.shape[-1]))
+    n = nodes.shape[-1]
+    lo2 = pairs[..., 0, :].reshape(-1, n)
+    hi2 = pairs[..., 1, :].reshape(-1, n)
+    rec = _pair_synthesis_kernel(lo2, hi2, low, high, spacing, boundary)
+    if rec is not None:
+        return rec.reshape(pairs.shape[:-2] + (n,))
     rec_lo = atrous_convolve(
         pairs[..., 0, :], low, spacing=spacing, boundary=boundary, sign=+1
     )
