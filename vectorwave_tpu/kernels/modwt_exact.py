@@ -462,13 +462,20 @@ def analysis_exact(
     tile: int = 65536,
     interpret: bool = False,
     x_lo: jnp.ndarray | None = None,
+    halo: jnp.ndarray | None = None,
 ):
     """[B, N] (or pair) -> tuple of (levels+1) double-float plane pairs.
 
     Exact composite-filter analysis: each returned ``(hi, lo)`` pair carries
     ~48 bits.  ``x_lo`` extends the input itself to double-float (used by
     gradient/chained pipelines); plain f32 inputs are already exact.
+    ``halo``: optional [B, >=span] LEFT-neighbor raw samples (the
+    distributed tier's ppermute output) — overrides ``periodic``; f32
+    neighbor samples are exact, so the sharded transform keeps the
+    <=1e-10 contract.
     """
+    from .modwt_mxu import _pad_halo_rows
+
     b, n = x.shape
     filter_length = len(filters[0])
     halo_rows = _composite_halo_rows(filter_length, levels)
@@ -478,8 +485,10 @@ def analysis_exact(
     )
     n_pad = _round_up(n, tile_rows * _LANES)
 
-    def extend_left(arr):
-        if periodic:
+    def extend_left(arr, ext_halo=None):
+        if ext_halo is not None:
+            left = _from_rows(_pad_halo_rows(ext_halo, halo_pad, "left"))
+        elif periodic:
             reps = -(-halo_pad // n)
             left = jnp.concatenate([arr] * reps, axis=-1)[..., -halo_pad:]
         else:
@@ -491,9 +500,13 @@ def analysis_exact(
 
     has_lo = x_lo is not None
     sigma0 = _sigma0_from(*( (x, x_lo) if has_lo else (x,) ))
+    ext_halo = halo.astype(jnp.float32) if halo is not None else None
     outs = _exact_analysis_call(
-        extend_left(x.astype(jnp.float32)),
-        extend_left(x_lo.astype(jnp.float32)) if has_lo else None,
+        extend_left(x.astype(jnp.float32), ext_halo),
+        extend_left(
+            x_lo.astype(jnp.float32),
+            jnp.zeros_like(ext_halo) if ext_halo is not None else None,
+        ) if has_lo else None,
         sigma0,
         levels=levels,
         filters=filters,
@@ -516,8 +529,16 @@ def synthesis_exact(
     periodic: bool,
     tile: int = 65536,
     interpret: bool = False,
+    halo=None,
 ):
-    """Tuple of (levels+1) double-float pairs -> reconstructed (hi, lo)."""
+    """Tuple of (levels+1) double-float pairs -> reconstructed (hi, lo).
+
+    ``halo``: optional tuple (per plane) of ``(hi_tail, lo_tail)``
+    RIGHT-neighbor sample pairs [B, >=span] — the sharded tier's ppermute
+    output; overrides ``periodic``.
+    """
+    from .modwt_mxu import _pad_halo_rows
+
     b, n = coeff_pairs[0][0].shape
     filter_length = len(filters[0])
     halo_rows = _composite_halo_rows(filter_length, levels)
@@ -527,8 +548,10 @@ def synthesis_exact(
     )
     n_pad = _round_up(n, tile_rows * _LANES)
 
-    def extend_right(arr):
-        if periodic:
+    def extend_right(arr, ext_halo=None):
+        if ext_halo is not None:
+            right = _from_rows(_pad_halo_rows(ext_halo, halo_pad, "right"))
+        elif periodic:
             reps = -(-halo_pad // n)
             right = jnp.concatenate([arr] * reps, axis=-1)[..., :halo_pad]
         else:
@@ -539,9 +562,11 @@ def synthesis_exact(
         return _to_rows(jnp.concatenate(pieces, axis=-1))
 
     flat = []
-    for hi, lo in coeff_pairs:
-        flat.append(extend_right(hi.astype(jnp.float32)))
-        flat.append(extend_right(lo.astype(jnp.float32)))
+    for i, (hi, lo) in enumerate(coeff_pairs):
+        hh = halo[i][0].astype(jnp.float32) if halo is not None else None
+        hl = halo[i][1].astype(jnp.float32) if halo is not None else None
+        flat.append(extend_right(hi.astype(jnp.float32), hh))
+        flat.append(extend_right(lo.astype(jnp.float32), hl))
     sigma0 = _sigma0_from(*[p for pair in coeff_pairs for p in pair])
     out_hi, out_lo = _exact_synthesis_call(
         tuple(flat),
@@ -579,6 +604,60 @@ def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False):
     return hi, lo
 
 
+def _upsample_taps(f, spacing: int) -> tuple[float, ...]:
+    arr = np.zeros(spacing * (len(f) - 1) + 1, dtype=np.float64)
+    arr[::spacing] = np.asarray(f, dtype=np.float64)
+    return tuple(arr.tolist())
+
+
+def analysis_exact_symmetric(x, levels: int, filters: tuple,
+                             interpret: bool = False,
+                             x_lo: jnp.ndarray | None = None):
+    """Exact SYMMETRIC analysis: per-level mirrored cascade through the
+    exact kernel.
+
+    The symmetric cascade mirrors the EVOLVING approximation each level
+    (not x), so it is not a filter composition; instead each level runs as
+    ONE single-stage exact-kernel call (the à trous filters pre-upsampled
+    into the level-1 composite) on the double-float approximation extended
+    with its own half-point mirror — the mirror is a flip (exact, no
+    arithmetic), so the ~48-bit double-float contract survives the whole
+    cascade.  Matches the f64 jnp symmetric analysis to ~1e-12.
+
+    (The symmetric INVERSE is intentionally left out of the exact tier: the
+    alignment-shifted symmetric inverse is a boundary APPROXIMATION by
+    design — its edge NRMSE, not arithmetic, dominates any round-trip
+    error — so a <=1e-10 synthesis contract is only meaningful for
+    periodic/zero, where PR holds.)
+    """
+    low, high = filters
+    l0 = len(low)
+    cur_hi = x.astype(jnp.float32)
+    cur_lo = (
+        x_lo.astype(jnp.float32) if x_lo is not None
+        else jnp.zeros_like(cur_hi)
+    )
+    outs = []
+    for j in range(1, levels + 1):
+        s = 1 << (j - 1)
+        hist = (l0 - 1) * s
+        ext_hi = jnp.concatenate(
+            [jnp.flip(cur_hi[..., :hist], axis=-1), cur_hi], axis=-1
+        )
+        ext_lo = jnp.concatenate(
+            [jnp.flip(cur_lo[..., :hist], axis=-1), cur_lo], axis=-1
+        )
+        pairs = analysis_exact(
+            ext_hi, 1, (_upsample_taps(low, s), _upsample_taps(high, s)),
+            False, interpret=interpret, x_lo=ext_lo,
+        )
+        (d_hi, d_lo), (a_hi, a_lo) = pairs
+        outs.append((d_hi[..., hist:], d_lo[..., hist:]))
+        cur_hi, cur_lo = a_hi[..., hist:], a_lo[..., hist:]
+    outs.append((cur_hi, cur_lo))
+    return tuple(outs)
+
+
 def modwt_multilevel_exact(x, wavelet, *, levels: int,
                            boundary: str = "periodic",
                            interpret: bool = False):
@@ -587,27 +666,37 @@ def modwt_multilevel_exact(x, wavelet, *, levels: int,
     mantissa bits, on-chip).  Combine ``hi + lo`` in f64 on the host for a
     full-precision reading; round-trips through :func:`imodwt_multilevel_exact`
     stay <= 1e-10 RMSE ON THE TPU (BASELINE.json's parity gate; bench.py's
-    ``exact_rmse`` measures 8.4e-14).  Periodic/zero boundaries.
+    ``exact_rmse`` measures 8.4e-14).  Periodic/zero/symmetric boundaries
+    (symmetric via the per-level mirrored exact cascade,
+    :func:`analysis_exact_symmetric`; its inverse stays periodic/zero —
+    the symmetric inverse is a boundary approximation by design).
     """
     from .modwt_pallas import _kernel_filters
     from ..transforms.modwt import _resolve_discrete
 
     b_l = boundary.lower()
-    if not (b_l.startswith("per") or b_l.startswith("zero")):
+    if not (b_l.startswith("per") or b_l.startswith("zero")
+            or b_l.startswith("sym")):
         from ..errors import ErrorCode, InvalidArgumentError
 
         raise InvalidArgumentError(
             ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
-            "Exact-tier kernels support periodic/zero boundaries",
+            "Exact-tier kernels support periodic/zero/symmetric boundaries",
         )
     w = _resolve_discrete(wavelet)
     squeeze = x.ndim == 1
     if squeeze:
         x = x[None, :]
-    pairs = analysis_exact(
-        x, levels, _kernel_filters(w, synthesis=False),
-        b_l.startswith("per"), interpret=interpret,
-    )
+    if b_l.startswith("sym"):
+        pairs = analysis_exact_symmetric(
+            x, levels, _kernel_filters(w, synthesis=False),
+            interpret=interpret,
+        )
+    else:
+        pairs = analysis_exact(
+            x, levels, _kernel_filters(w, synthesis=False),
+            b_l.startswith("per"), interpret=interpret,
+        )
     if squeeze:
         pairs = tuple((h[0], l[0]) for h, l in pairs)
     return tuple(pairs[:levels]), pairs[levels]

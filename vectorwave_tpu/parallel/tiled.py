@@ -535,3 +535,158 @@ def tiled_roundtrip_check(
         res, wavelet, mesh=mesh, axis=axis, boundary="periodic"
     )
     return float(jnp.max(jnp.abs(xr - x)))
+
+
+# ---------------------------------------------------------------------------
+# EXACT (<=1e-10) sharded tier: the double-float/Ozaki-sliced kernels of
+# kernels/modwt_exact.py run shard-locally, with the halo exchanged over the
+# ring exactly like the fast tier — the analysis halo is RAW f32 input
+# (exact by construction), the synthesis halo is each plane's double-float
+# (hi, lo) tail, so the sharded round trip keeps the single-chip parity
+# contract (BASELINE.json's <=1e-10 gate; reference meets it in-process,
+# ModwtPeriodicRoundTripTest.java:37).
+# ---------------------------------------------------------------------------
+
+
+def modwt_multilevel_tiled_exact(
+    x: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int,
+    mesh: Mesh,
+    axis: str = "signal",
+    boundary: str = "periodic",
+    batch_axis: str | None = None,
+    interpret: bool | None = None,
+):
+    """Sharded exact analysis: (details pairs tuple, approx pair), each
+    plane a double-float ``(hi, lo)`` pair sharded like the input."""
+    from ..kernels.modwt_exact import analysis_exact
+    from ..kernels.modwt_mxu import _composite_halo_rows
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    w = _resolve_discrete(wavelet)
+    boundary_l = boundary.lower()
+    if not (boundary_l.startswith("per") or boundary_l.startswith("zero")):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+            "Exact tiled analysis supports periodic/zero boundaries",
+        )
+    wrap = boundary_l.startswith("per")
+    if interpret is None:
+        interpret = not pallas_available()
+    filters = _kernel_filters(w, synthesis=False)
+    span = _composite_halo_rows(w.filter_length, levels) * 128
+    from_left, _ = _ring_perms(axis, mesh, wrap)
+
+    def shard_fn(x_local):
+        lead = x_local.shape[:-1]
+        n_loc = x_local.shape[-1]
+        x2 = x_local.reshape((-1, n_loc))
+        eff_span = min(span, n_loc * mesh.shape[axis])
+        if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
+            rows = x2.reshape(-1, n_loc // 128, 128)
+            send = rows[:, -(eff_span // 128):, :].reshape(-1, eff_span)
+            halo = jax.lax.ppermute(send, axis, from_left)
+        else:
+            halo = _gather_halo(x2, eff_span, axis, from_left, "left")
+        pairs = analysis_exact(
+            x2, levels, filters, False, interpret=interpret, halo=halo,
+        )
+        out = tuple(
+            (h.reshape(lead + (n_loc,)), l.reshape(lead + (n_loc,)))
+            for h, l in pairs
+        )
+        return out[:levels], out[levels]
+
+    spec = _tile_spec(x.ndim, axis, batch_axis)
+    pair_spec = (spec, spec)
+    fn = _cached_program(
+        ("fwd-exact", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
+         x.ndim, interpret),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=(tuple(pair_spec for _ in range(levels)), pair_spec),
+            check_vma=False,
+        ),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, spec))
+    return fn(x)
+
+
+def imodwt_multilevel_tiled_exact(
+    details,
+    approx,
+    wavelet,
+    *,
+    mesh: Mesh,
+    axis: str = "signal",
+    boundary: str = "periodic",
+    batch_axis: str | None = None,
+    interpret: bool | None = None,
+):
+    """Sharded exact synthesis from double-float plane pairs: returns the
+    reconstructed ``(hi, lo)`` pair (combine in f64 on host to evaluate)."""
+    from ..kernels.modwt_exact import synthesis_exact
+    from ..kernels.modwt_mxu import _composite_halo_rows
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    w = _resolve_discrete(wavelet)
+    boundary_l = boundary.lower()
+    wrap = boundary_l.startswith("per")
+    if interpret is None:
+        interpret = not pallas_available()
+    levels = len(details)
+    filters = _kernel_filters(w, synthesis=True)
+    span = _composite_halo_rows(w.filter_length, levels) * 128
+    _, from_right = _ring_perms(axis, mesh, wrap)
+
+    def shard_fn(details_pairs, approx_pair):
+        pairs = tuple(details_pairs) + (approx_pair,)
+        lead = approx_pair[0].shape[:-1]
+        n_loc = approx_pair[0].shape[-1]
+        p2 = tuple(
+            (h.reshape((-1, n_loc)), l.reshape((-1, n_loc))) for h, l in pairs
+        )
+        eff_span = min(span, n_loc * mesh.shape[axis])
+        flat_planes = [p for pair in p2 for p in pair]
+        if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
+            hr = eff_span // 128
+            send = jnp.stack(
+                [p.reshape(-1, n_loc // 128, 128)[:, :hr, :]
+                 for p in flat_planes]
+            ).reshape(len(flat_planes), -1, eff_span)
+            recv = jax.lax.ppermute(send, axis, from_right)
+            halos = tuple(
+                (recv[2 * i], recv[2 * i + 1]) for i in range(len(p2))
+            )
+        else:
+            gath = [
+                _gather_halo(p, eff_span, axis, from_right, "right")
+                for p in flat_planes
+            ]
+            halos = tuple(
+                (gath[2 * i], gath[2 * i + 1]) for i in range(len(p2))
+            )
+        hi, lo = synthesis_exact(
+            p2, levels, filters, False, interpret=interpret, halo=halos,
+        )
+        return hi.reshape(lead + (n_loc,)), lo.reshape(lead + (n_loc,))
+
+    ndim = approx[0].ndim
+    spec = _tile_spec(ndim, axis, batch_axis)
+    pair_spec = (spec, spec)
+    fn = _cached_program(
+        ("inv-exact", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
+         ndim, interpret),
+        lambda: jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(tuple(pair_spec for _ in range(levels)), pair_spec),
+            out_specs=pair_spec,
+            check_vma=False,
+        ),
+    )
+    return fn(tuple(details), approx)

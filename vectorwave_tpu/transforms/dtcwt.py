@@ -177,7 +177,9 @@ def _dtcwt_kernel_eligible(n: int, dtype, span: int) -> bool:
 
 
 def _dtcwt_kernel_analysis(x, wavelet, levels: int):
-    """Both trees' full decomposition via two composite bank calls, or None."""
+    """Both trees' full decomposition in ONE composite bank call (the two
+    trees share the input, so their composed planes just concatenate into
+    one multi-output bank), or None when ineligible."""
     from ..config import get_fused_precision
     from ..kernels.modwt_pallas import pallas_available
     from .packets import _bank_ana_core
@@ -185,18 +187,28 @@ def _dtcwt_kernel_analysis(x, wavelet, levels: int):
     lead = x.shape[:-1]
     n = x.shape[-1]
     x2 = x.reshape(-1, n)
-    trees = {}
+    planes_ab = []
     for tree in ("a", "b"):
         planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
         span = max(len(t) for t, _, _ in planes) - 1
         if not _dtcwt_kernel_eligible(n, x2.dtype, span):
             return None
-        dense_rev = tuple(tuple(t[::-1].tolist()) for t, _, _ in planes)
-        y = _bank_ana_core(
-            x2, dense_rev, True, get_fused_precision(), not pallas_available()
-        )
+        planes_ab.append(planes)
+    dense_rev = tuple(
+        tuple(t[::-1].tolist())
+        for planes in planes_ab
+        for t, _, _ in planes
+    )
+    y = _bank_ana_core(
+        x2, dense_rev, True, get_fused_precision(), not pallas_available()
+    )
+    trees = {}
+    for ti, tree in enumerate(("a", "b")):
+        planes = planes_ab[ti]
         outs = []
-        for (taps, phi, level), y_p in zip(planes, y):
+        for (taps, phi, level), y_p in zip(
+            planes, y[ti * (levels + 1) : (ti + 1) * (levels + 1)]
+        ):
             psi = (phi + len(taps) - 1) % n
             outs.append(
                 jnp.roll(y_p, -psi, axis=-1)[..., :: 1 << level].reshape(
@@ -222,18 +234,22 @@ def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
     lead = result.lowpass_a.shape[:-1]
     n = result.highpasses[0].shape[-1] * 2
     sqrt2 = math.sqrt(2.0)
-    outs = []
+    # one synthesis bank over BOTH trees' stuffed planes: the 0.5 tree
+    # average is absorbed into the taps
+    all_dense = []
+    all_stuffed = []
     for tree in ("a", "b"):
         planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
         span = max(len(t) for t, _, _ in planes) - 1
         if not _dtcwt_kernel_eligible(n, result.lowpass_a.dtype, span):
             return None
-        dense_rev = tuple(tuple(t[::-1].tolist()) for t, _, _ in planes)
+        all_dense.extend(
+            tuple((0.5 * t[::-1]).tolist()) for t, _, _ in planes
+        )
         coeffs = [
             (sqrt2 * jnp.real(z)) if tree == "a" else (-sqrt2 * jnp.imag(z))
             for z in result.highpasses
         ] + [result.lowpass_a if tree == "a" else result.lowpass_b]
-        stuffed = []
         for (taps, phi, level), c in zip(planes, coeffs):
             c2 = c.reshape(-1, c.shape[-1]).astype(jnp.float32)
             stride = 1 << level
@@ -243,14 +259,12 @@ def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
             buf = buf.at[..., s0::stride].set(
                 jnp.roll(c2, q % c2.shape[-1], axis=-1)
             )
-            stuffed.append(buf)
-        outs.append(
-            _bank_syn_core(
-                tuple(stuffed), dense_rev, True, get_fused_precision(),
-                not pallas_available(),
-            ).reshape(lead + (n,))
-        )
-    return 0.5 * (outs[0] + outs[1])
+            all_stuffed.append(buf)
+    out = _bank_syn_core(
+        tuple(all_stuffed), tuple(all_dense), True, get_fused_precision(),
+        not pallas_available(),
+    )
+    return out.reshape(lead + (n,))
 
 
 def dtcwt(

@@ -260,6 +260,82 @@ def _bank_syn_bwd(dense, periodic, precision, interpret, _, cot):
 _bank_syn_core.defvjp(_bank_syn_fwd, _bank_syn_bwd)
 
 
+def _packet_plane_filters(w, levels: int, dec: bool = True):
+    """Composed à trous filters for every node of every level (natural
+    order): ``out[j-1][idx]`` = dense taps of node ``(j, idx)`` — the
+    product of the per-stage branch filters, upsampled by ``2^(s-1)`` at
+    stage ``s`` (children of node ``i`` are ``2i`` low / ``2i+1`` high)."""
+    f0 = np.asarray(w.dec_lo if dec else w.rec_lo, np.float64) * _INV_SQRT2
+    f1 = np.asarray(w.dec_hi if dec else w.rec_hi, np.float64) * _INV_SQRT2
+    per_level: list[list[np.ndarray]] = []
+    prev = [np.array([1.0])]
+    for j in range(1, levels + 1):
+        s = 1 << (j - 1)
+
+        def up(f):
+            arr = np.zeros(s * (len(f) - 1) + 1, dtype=np.float64)
+            arr[::s] = f
+            return arr
+
+        u0, u1 = up(f0), up(f1)
+        cur = []
+        for parent in prev:
+            cur.append(np.convolve(parent, u0))
+            cur.append(np.convolve(parent, u1))
+        per_level.append(cur)
+        prev = cur
+    return per_level
+
+
+def _modwpt_tree_kernel(x2, w, levels: int, boundary: str):
+    """The WHOLE packet tree as ONE composite bank call: every node of
+    every level is a composed à trous filter applied directly to x, so the
+    full decomposition is a single multi-output kernel dispatch instead of
+    J dependent per-level calls (at BENCH_BEYOND's 8x16K shape the round-3
+    path was dispatch-bound at 134 Ms/s).  Returns per-level output lists
+    or None when ineligible."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+
+    per_level = _packet_plane_filters(w, levels, dec=True)
+    all_taps = [t for lvl in per_level for t in lvl]
+    span = max(len(t) for t in all_taps) - 1
+    if not _pair_kernel_ok(x2, boundary, span):
+        return None
+    dense = tuple(tuple(t.tolist()) for t in all_taps)
+    outs = _bank_ana_core(
+        x2, dense, boundary.lower().startswith("per"),
+        get_fused_precision(), not pallas_available(),
+    )
+    levels_out = []
+    off = 0
+    for j in range(1, levels + 1):
+        cnt = 1 << j
+        levels_out.append(list(outs[off : off + cnt]))
+        off += cnt
+    return levels_out
+
+
+def _imodwpt_tree_kernel(leaves2, w, boundary: str):
+    """Leaves -> signal in ONE synthesis bank call with the composed
+    reconstruction filters (the exact adjoint of the composed analysis).
+    ``leaves2``: list of 2^J arrays [B, N].  Returns [B, N] or None."""
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+
+    depth = int(round(math.log2(len(leaves2))))
+    per_level = _packet_plane_filters(w, depth, dec=False)
+    leaf_taps = per_level[depth - 1]
+    span = max(len(t) for t in leaf_taps) - 1
+    if not _pair_kernel_ok(leaves2[0], boundary, span):
+        return None
+    dense = tuple(tuple(t.tolist()) for t in leaf_taps)
+    return _bank_syn_core(
+        tuple(leaves2), dense, boundary.lower().startswith("per"),
+        get_fused_precision(), not pallas_available(),
+    )
+
+
 def _pair_analysis_kernel(flat, low, high, spacing: int, boundary: str):
     """One batched à trous analysis pair [B, N] -> (lo, hi) through the
     composite MXU kernel (``planes_override`` = the two upsampled filters —
@@ -315,9 +391,18 @@ def modwpt(
     _validate_signal(x, min_length=2)
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    whole = _modwpt_tree_kernel(x.reshape(-1, n), w, levels, boundary)
+    if whole is not None:
+        tree = [x[..., None, :]]
+        for j, planes in enumerate(whole, start=1):
+            tree.append(
+                jnp.stack(planes, axis=-2).reshape(lead + (1 << j, n))
+            )
+        return WaveletPacketTree(tuple(tree))
     nodes = x[..., None, :]
     tree = [nodes]
-    n = x.shape[-1]
     for j in range(1, levels + 1):
         spacing = 1 << (j - 1)
         flat = nodes.reshape(-1, n)
@@ -373,6 +458,12 @@ def imodwpt(
             ErrorCode.VAL_INVALID_SHAPE,
             f"leaf node count must be a power of two, got {nodes.shape[-2]}",
         )
+    n = nodes.shape[-1]
+    lead = nodes.shape[:-2]
+    leaves2 = [nodes[..., i, :].reshape(-1, n) for i in range(1 << depth)]
+    whole = _imodwpt_tree_kernel(leaves2, w, boundary)
+    if whole is not None:
+        return whole.reshape(lead + (n,))
     for j in range(depth, 0, -1):
         nodes = _imodwpt_pair(nodes, w, 1 << (j - 1), boundary)
     return nodes[..., 0, :]
