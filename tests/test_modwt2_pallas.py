@@ -1,0 +1,76 @@
+"""True 2-D Pallas analysis kernel (kernels/modwt2_pallas.py): both
+separable passes in VMEM, subbands written in standard layout.
+
+Parity oracle: the jnp/XLA banded path (kernels/modwt2_mxu.py), itself
+guarded against transforms/twodim.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vectorwave_tpu.kernels import modwt2_mxu as k2
+from vectorwave_tpu.kernels.modwt2_pallas import modwt2_multilevel_pallas
+from vectorwave_tpu.transforms.modwt import _resolve_discrete
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+@pytest.mark.parametrize("name,levels", [("db4", 3), ("haar", 4), ("sym8", 2)])
+def test_2d_pallas_analysis_matches_xla_path(name, levels, boundary):
+    rng = np.random.default_rng(0)
+    w = _resolve_discrete(name)
+    x = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    det_p, ll_p = modwt2_multilevel_pallas(
+        x, w, levels, boundary, "float32", interpret=True
+    )
+    det_x, ll_x = k2.modwt2_multilevel_fast(x, w, levels, boundary, "float32")
+    for j in range(levels):
+        for got, want, tag in zip(det_p[j], det_x[j], ("lh", "hl", "hh")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5,
+                err_msg=f"level {j+1} {tag} {boundary}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(ll_p), np.asarray(ll_x), atol=2e-5, err_msg="ll"
+    )
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+def test_2d_pallas_roundtrip(boundary):
+    from vectorwave_tpu.kernels.modwt2_pallas import (
+        imodwt2_multilevel_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    w = _resolve_discrete("db4")
+    x = jnp.asarray(rng.standard_normal((1, 256, 256)), jnp.float32)
+    det, ll = modwt2_multilevel_pallas(
+        x, w, 3, boundary, "float32", interpret=True
+    )
+    xr = imodwt2_multilevel_pallas(det, ll, w, boundary, "float32",
+                                   interpret=True)
+    ref_det, ref_ll = k2.modwt2_multilevel_fast(x, w, 3, boundary, "float32")
+    ref = k2.imodwt2_multilevel_fast(ref_det, ref_ll, w, boundary, "float32")
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(ref), atol=3e-5)
+    if boundary == "periodic":
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
+
+
+def test_public_routing_forced_pallas_matches_jnp():
+    import vectorwave_tpu as vw
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    vw.set_backend("pallas")
+    vw.set_fused_precision("float32")
+    try:
+        res = vw.modwt2_multilevel(x, "db4", levels=2)
+        xr = vw.imodwt2_multilevel(res, "db4")
+    finally:
+        vw.set_backend("auto")
+        vw.set_fused_precision("bf16_3x")
+    ref = vw.modwt2_multilevel(x, "db4", levels=2, )
+    np.testing.assert_allclose(
+        np.asarray(res.approx), np.asarray(ref.approx), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)

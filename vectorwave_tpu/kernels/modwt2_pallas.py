@@ -1,0 +1,620 @@
+"""True 2-D MODWT Pallas kernels: both separable passes inside VMEM.
+
+Round-3's 2-D fast path (kernels/modwt2_mxu.py) is plain XLA: every axis
+pass materializes half-GB fields in HBM, and the column passes transpose
+them (measured on chip: ONE [8,2048,2048] swapaxes = 3.3 ms, a block-axis
+roll = 4.2 ms, full db4 J=4 roundtrip = 180 ms, tools/probe_2d_breakdown.py
+— transposes + rolls are most of it).  Here each grid step holds an image
+tile (+ halos) in VMEM and runs BOTH axis passes before anything returns to
+HBM:
+
+* **W-axis** (lanes): the 1-D banded-matmul formulation on the flattened
+  [rows x blocks, 128] view.  The periodic wrap rides as ``wb`` extra
+  DMA'd blocks per row (analysis: left, from the row's far end), so block
+  rolls never leak across image rows — the out-of-range blocks that a
+  flat roll corrupts are exactly the halo blocks the output never keeps.
+* **H-axis** (sublanes): LEFT matmuls ``out_block = sum_E L_E @ block[..]``
+  contracting the 128-row block axis — the MXU absorbs what XLA could only
+  express as a transpose.
+* Subbands are written in STANDARD [B, H, W] layout directly from VMEM —
+  no boundary transposes anywhere.
+
+Halo budget: one 128-row / one 128-lane block per side (composite span
+(L0-1)(2^J - 1) <= 128), i.e. db4 up to J=4, sym8 up to J=3; wider spans
+fall back to the XLA path.  Periodic and zero boundaries.
+
+Reference 2-D analogue: none (the reference is 1-D only); semantics are
+transforms/twodim.py's, matched by tests against the jnp path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (functools used by the jit wrappers below)
+
+from .modwt2_mxu import composite_planes_split
+from .modwt_mxu import _dot
+from .modwt_pallas import _round_up
+
+_LANES = 128
+
+
+def _shift_rows(flat, shift: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    if shift == 0:
+        return flat
+    return pltpu.roll(flat, shift, 0)
+
+
+def _w_band_mats(taps_list, sign: int) -> dict[int, np.ndarray]:
+    """{e: M_e[128, P*128]} lane-axis band matrices for P filters at once
+    (out[p] = sum f[tau] x[p + sign*tau]); e in {-1, 0} (analysis) or
+    {0, 1} (synthesis) under the one-block span guard."""
+    blocks: dict[int, np.ndarray] = {}
+    n_p = len(taps_list)
+    for pi, taps in enumerate(taps_list):
+        for tau, val in enumerate(np.asarray(taps, np.float64)):
+            if val == 0.0:
+                continue
+            delta = sign * tau
+            for i in range(_LANES):
+                src = i + delta
+                e = src // _LANES
+                lane = src - e * _LANES
+                m = blocks.setdefault(
+                    e, np.zeros((_LANES, n_p * _LANES), np.float64)
+                )
+                m[lane, pi * _LANES + i] += val
+    return blocks
+
+
+def _h_band_mats(taps, sign: int) -> dict[int, np.ndarray]:
+    """{E: L_E[128, 128]} sublane-axis band matrices for LEFT matmuls:
+    out_rows[r'] = sum_E (L_E @ X_rowblock[r'_block - sign*E])[r' % 128]
+    with out[r] = sum f[tau] X[r + sign*tau]."""
+    blocks: dict[int, np.ndarray] = {}
+    for tau, val in enumerate(np.asarray(taps, np.float64)):
+        if val == 0.0:
+            continue
+        delta = sign * tau
+        for i in range(_LANES):  # output row within block
+            src = i + delta
+            e = src // _LANES
+            row = src - e * _LANES
+            m = blocks.setdefault(e, np.zeros((_LANES, _LANES), np.float64))
+            # out[i] += val * X[block e][row]: L_E[i, row]
+            m[i, row] += val
+    return blocks
+
+
+def modwt2_pallas_eligible(x, w, levels: int, boundary: str) -> bool:
+    from ..config import get_backend
+    from .modwt_pallas import pallas_available
+
+    b = boundary.lower()
+    if not (b.startswith("per") or b.startswith("zero")):
+        return False
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    if backend == "auto" and not pallas_available():
+        return False
+    if x.dtype not in (jnp.float32,):
+        return False
+    span = (w.filter_length - 1) * ((1 << levels) - 1)
+    if span > _LANES:
+        return False
+    h, w_ = x.shape[-2], x.shape[-1]
+    return (
+        h % (2 * _LANES) == 0 and w_ % (2 * _LANES) == 0 and levels >= 1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "filters", "wtile", "periodic", "precision",
+                     "interpret"),
+)
+def _modwt2_analysis_call(
+    x4: jnp.ndarray,  # [B, H, Wk, 128]
+    *,
+    levels: int,
+    filters: tuple,  # ((dec_lo...), (dec_hi...)) scaled
+    wtile: int,
+    periodic: bool,
+    precision: str,
+    interpret: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], np.float64)
+    high = np.asarray(filters[1], np.float64)
+    ds, as_ = composite_planes_split(low, high, levels)
+    b, h, wk, _ = x4.shape
+    num_t = h // _LANES
+    num_s = wk // wtile
+    grid = (b, num_t, num_s)
+    win_rows = 2 * _LANES  # one halo row-block + one output row-block
+    win_blocks = 1 + wtile  # one wrap/halo block + wtile output blocks
+    dtype = x4.dtype
+
+    # constants: per-level W band mats for (D_j, A_j) pairs; H left mats
+    w_mats = []  # per j: {e: [128, 256]}
+    h_d_mats = []  # per j: {E: [128, 128]}
+    h_a_mats = []
+    for j in range(levels):
+        w_mats.append(_w_band_mats([ds[j], as_[j]], -1))
+        h_d_mats.append(_h_band_mats(ds[j], -1))
+        h_a_mats.append(_h_band_mats(as_[j], -1))
+    consts = []
+    const_index = {}
+    for j in range(levels):
+        for e, m in sorted(w_mats[j].items()):
+            const_index[("w", j, e)] = len(consts)
+            consts.append(jnp.asarray(m, jnp.float32))
+        for tag, mats in (("hd", h_d_mats[j]), ("ha", h_a_mats[j])):
+            for e, m in sorted(mats.items()):
+                const_index[(tag, j, e)] = len(consts)
+                consts.append(jnp.asarray(m, jnp.float32))
+    n_out = 3 * levels + 1
+
+    def kernel(x_hbm, *rest):
+        c_refs = rest[: len(consts)]
+        out_refs = rest[len(consts) : len(consts) + n_out]
+        scratch, sems = rest[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        s = pl.program_id(2)
+        li = (bi * num_t + t) * num_s + s
+
+        def window_dma(bi2, t2, s2, slot, phase):
+            # main region rows [halo:], blocks [1:]
+            row0 = t2 * _LANES
+
+            def copy(dst_rows, dst_blocks, src_rows, src_blocks, sem_i):
+                c = pltpu.make_async_copy(
+                    x_hbm.at[bi2, src_rows, src_blocks, :],
+                    scratch.at[slot, dst_rows, dst_blocks, :],
+                    sems.at[slot, sem_i],
+                )
+                c.start() if phase == 0 else c.wait()
+
+            # 1) main rows, main blocks
+            copy(pl.ds(_LANES, _LANES), pl.ds(1, wtile),
+                 pl.ds(row0, _LANES), pl.ds(s2 * wtile, wtile), 0)
+            # 2) main rows, left wrap/halo block
+            if periodic:
+                src_b = (s2 * wtile - 1) % wk
+
+                def _mwrap():
+                    copy(pl.ds(_LANES, _LANES), pl.ds(0, 1),
+                         pl.ds(row0, _LANES), pl.ds(src_b, 1), 1)
+
+                _mwrap()
+            else:
+                def _mhalo():
+                    copy(pl.ds(_LANES, _LANES), pl.ds(0, 1),
+                         pl.ds(row0, _LANES), pl.ds(s2 * wtile - 1, 1), 1)
+
+                def _mzero():
+                    if phase == 0:
+                        scratch[slot, _LANES:, 0:1, :] = jnp.zeros(
+                            (_LANES, 1, _LANES), dtype
+                        )
+
+                pl.when(s2 != 0)(_mhalo)
+                pl.when(s2 == 0)(_mzero)
+            # 3) halo rows (above), main blocks (+ wrap block 4)
+            hrow0 = (row0 - _LANES) % h
+
+            def _hmain():
+                src_r = hrow0 if periodic else row0 - _LANES
+                copy(pl.ds(0, _LANES), pl.ds(1, wtile),
+                     pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile), 2)
+                if periodic:
+                    src_b = (s2 * wtile - 1) % wk
+                    copy(pl.ds(0, _LANES), pl.ds(0, 1),
+                         pl.ds(src_r, _LANES), pl.ds(src_b, 1), 3)
+                else:
+                    def _hh():
+                        copy(pl.ds(0, _LANES), pl.ds(0, 1),
+                             pl.ds(row0 - _LANES, _LANES),
+                             pl.ds(s2 * wtile - 1, 1), 3)
+
+                    def _hz():
+                        if phase == 0:
+                            scratch[slot, :_LANES, 0:1, :] = jnp.zeros(
+                                (_LANES, 1, _LANES), dtype
+                            )
+
+                    pl.when(s2 != 0)(_hh)
+                    pl.when(s2 == 0)(_hz)
+
+            def _hzero_all():
+                if phase == 0:
+                    scratch[slot, :_LANES, :, :] = jnp.zeros(
+                        (_LANES, win_blocks, _LANES), dtype
+                    )
+
+            if periodic:
+                _hmain()
+            else:
+                pl.when(t2 != 0)(_hmain)
+                pl.when(t2 == 0)(_hzero_all)
+
+        @pl.when(li == 0)
+        def _prologue():
+            window_dma(bi, t, s, 0, phase=0)
+
+        window_dma(bi, t, s, li % 2, phase=1)
+
+        total_steps = b * num_t * num_s
+        if total_steps > 1:
+            @pl.when(li + 1 < total_steps)
+            def _prefetch():
+                li1 = li + 1
+                s1 = li1 % num_s
+                t1 = (li1 // num_s) % num_t
+                b1 = li1 // (num_s * num_t)
+                window_dma(b1, t1, s1, li1 % 2, phase=0)
+
+        win = scratch[li % 2]  # [win_rows, win_blocks, 128]
+        flat = win.reshape(win_rows * win_blocks, _LANES)
+        oi = 0
+        for j in range(levels):
+            # W pass: both filters of level j at once -> [.., 256]
+            acc = None
+            for e in sorted(w_mats[j].keys()):
+                view = _shift_rows(flat, -e)  # e in {-1, 0}
+                term = _dot(view, c_refs[const_index[("w", j, e)]][:],
+                            precision)
+                acc = term if acc is None else acc + term
+            dw = acc[:, :_LANES].reshape(win_rows, win_blocks, _LANES)
+            aw = acc[:, _LANES:].reshape(win_rows, win_blocks, _LANES)
+
+            def h_apply(field, tag):
+                # LEFT dots: out rows = last row-block (index 1); E in
+                # {-1, 0}: out = L_0 @ block1 + L_{-1} @ block0
+                mats = h_d_mats[j] if tag == "hd" else h_a_mats[j]
+                out = None
+                for e in sorted(mats.keys()):
+                    blk = field[(1 + e) * _LANES : (2 + e) * _LANES].reshape(
+                        _LANES, win_blocks * _LANES
+                    )
+                    term = _dot_left(
+                        c_refs[const_index[(tag, j, e)]][:], blk, precision
+                    )
+                    out = term if out is None else out + term
+                return out.reshape(_LANES, win_blocks, _LANES)[:, 1:, :]
+
+            lh = h_apply(dw, "ha")
+            hh = h_apply(dw, "hd")
+            hl = h_apply(aw, "hd")
+            out_refs[oi][:] = lh.astype(dtype)[None]
+            out_refs[oi + 1][:] = hl.astype(dtype)[None]
+            out_refs[oi + 2][:] = hh.astype(dtype)[None]
+            oi += 3
+            if j == levels - 1:
+                ll = h_apply(aw, "ha")
+                out_refs[oi][:] = ll.astype(dtype)[None]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, wk, _LANES), dtype) for _ in range(n_out)
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, _LANES, wtile, _LANES),
+            lambda bi, t, s: (bi, t, s, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for _ in range(n_out)
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, win_blocks, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(x4, *consts)
+    return outs
+
+
+def _dot_left(l_const, x, precision: str):
+    """[128, 128] constant @ [128, N] operand with the kernel precision."""
+    dims = (((1,), (0,)), ((), ()))
+    kw = {"preferred_element_type": jnp.float32}
+    if precision == "float32":
+        return jax.lax.dot_general(
+            l_const, x, dims, precision=jax.lax.Precision.HIGHEST, **kw
+        )
+    if precision == "bf16":
+        return jax.lax.dot_general(
+            l_const, x, dims, precision=jax.lax.Precision.DEFAULT, **kw
+        )
+    # bf16_3x
+    l_hi = l_const.astype(jnp.bfloat16)
+    l_lo = (l_const - l_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (
+        jax.lax.dot_general(l_hi, x_hi, dims, **kw)
+        + jax.lax.dot_general(l_hi, x_lo, dims, **kw)
+        + jax.lax.dot_general(l_lo, x_hi, dims, **kw)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("levels", "filters", "wtile", "periodic", "precision",
+                     "interpret"),
+)
+def _modwt2_synthesis_call(
+    planes: tuple,  # 3*levels+1 arrays [B, H, Wk, 128]
+    *,
+    levels: int,
+    filters: tuple,  # ((rec_lo...), (rec_hi...)) scaled
+    wtile: int,
+    periodic: bool,
+    precision: str,
+    interpret: bool,
+):
+    """Forward-read synthesis: each plane's separable (H~, W~) contribution
+    accumulated in VMEM, one plane window DMA'd at a time (prefetched)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    low = np.asarray(filters[0], np.float64)
+    high = np.asarray(filters[1], np.float64)
+    ds, as_ = composite_planes_split(low, high, levels)
+    n_planes = 3 * levels + 1
+    # per-plane (W~ taps, H~ taps): [lh, hl, hh] per j + ll
+    pairs = []
+    for j in range(levels):
+        pairs.append((ds[j], as_[j]))  # lh: D~ along W, A~ along H
+        pairs.append((as_[j], ds[j]))  # hl
+        pairs.append((ds[j], ds[j]))  # hh
+    pairs.append((as_[levels - 1], as_[levels - 1]))  # ll
+    b, h, wk, _ = planes[0].shape
+    num_t = h // _LANES
+    num_s = wk // wtile
+    grid = (b, num_t, num_s)
+    win_rows = 2 * _LANES  # main + below halo
+    win_blocks = wtile + 1  # main + right halo
+    dtype = planes[0].dtype
+
+    consts = []
+    const_index = {}
+    for pi, (w_taps, h_taps) in enumerate(pairs):
+        for e, m in sorted(_w_band_mats([w_taps], +1).items()):
+            const_index[("w", pi, e)] = len(consts)
+            consts.append(jnp.asarray(m, jnp.float32))
+        for e, m in sorted(_h_band_mats(h_taps, +1).items()):
+            const_index[("h", pi, e)] = len(consts)
+            consts.append(jnp.asarray(m, jnp.float32))
+
+    def kernel(*refs):
+        plane_hbm = refs[:n_planes]
+        c_refs = refs[n_planes : n_planes + len(consts)]
+        out_ref = refs[n_planes + len(consts)]
+        scratch, sems = refs[-2:]
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        s = pl.program_id(2)
+        li = (bi * num_t + t) * num_s + s
+        total_steps = b * num_t * num_s
+
+        def window_dma(pi, bi2, t2, s2, slot, phase):
+            row0 = t2 * _LANES
+            src = plane_hbm[pi]
+
+            def copy(dst_rows, dst_blocks, src_rows, src_blocks, sem_i):
+                c = pltpu.make_async_copy(
+                    src.at[bi2, src_rows, src_blocks, :],
+                    scratch.at[slot, dst_rows, dst_blocks, :],
+                    sems.at[slot, sem_i],
+                )
+                c.start() if phase == 0 else c.wait()
+
+            # 1) main rows, main blocks
+            copy(pl.ds(0, _LANES), pl.ds(0, wtile),
+                 pl.ds(row0, _LANES), pl.ds(s2 * wtile, wtile), 0)
+            # 2) main rows, right halo/wrap block
+            if periodic:
+                src_b = (s2 * wtile + wtile) % wk
+                copy(pl.ds(0, _LANES), pl.ds(wtile, 1),
+                     pl.ds(row0, _LANES), pl.ds(src_b, 1), 1)
+            else:
+                def _mhalo():
+                    copy(pl.ds(0, _LANES), pl.ds(wtile, 1),
+                         pl.ds(row0, _LANES), pl.ds(s2 * wtile + wtile, 1), 1)
+
+                def _mzero():
+                    if phase == 0:
+                        scratch[slot, :_LANES, wtile:, :] = jnp.zeros(
+                            (_LANES, 1, _LANES), dtype
+                        )
+
+                pl.when(s2 != num_s - 1)(_mhalo)
+                pl.when(s2 == num_s - 1)(_mzero)
+            # 3) below halo rows
+            brow0 = (row0 + _LANES) % h
+
+            def _bmain():
+                src_r = brow0 if periodic else row0 + _LANES
+                copy(pl.ds(_LANES, _LANES), pl.ds(0, wtile),
+                     pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile), 2)
+                if periodic:
+                    src_b = (s2 * wtile + wtile) % wk
+                    copy(pl.ds(_LANES, _LANES), pl.ds(wtile, 1),
+                         pl.ds(src_r, _LANES), pl.ds(src_b, 1), 3)
+                else:
+                    def _bh():
+                        copy(pl.ds(_LANES, _LANES), pl.ds(wtile, 1),
+                             pl.ds(row0 + _LANES, _LANES),
+                             pl.ds(s2 * wtile + wtile, 1), 3)
+
+                    def _bz():
+                        if phase == 0:
+                            scratch[slot, _LANES:, wtile:, :] = jnp.zeros(
+                                (_LANES, 1, _LANES), dtype
+                            )
+
+                    pl.when(s2 != num_s - 1)(_bh)
+                    pl.when(s2 == num_s - 1)(_bz)
+
+            def _bzero_all():
+                if phase == 0:
+                    scratch[slot, _LANES:, :, :] = jnp.zeros(
+                        (_LANES, win_blocks, _LANES), dtype
+                    )
+
+            if periodic:
+                _bmain()
+            else:
+                pl.when(t2 != num_t - 1)(_bmain)
+                pl.when(t2 == num_t - 1)(_bzero_all)
+
+        def seq_dma(pi, li2, slot, phase):
+            """Plane ``pi`` (STATIC python int) of grid step ``li2``."""
+            s2 = li2 % num_s
+            t2 = (li2 // num_s) % num_t
+            b2 = li2 // (num_s * num_t)
+            window_dma(pi, b2, t2, s2, slot, phase)
+
+        @pl.when(li == 0)
+        def _prologue():
+            seq_dma(0, li, 0, 0)
+
+        acc = None
+        for pi in range(n_planes):
+            slot = (li * n_planes + pi) % 2
+            seq_dma(pi, li, slot, 1)  # wait for this plane's window
+            win = scratch[slot]
+
+            # prefetch the next item in the (step, plane) sequence
+            nslot = (li * n_planes + pi + 1) % 2
+            if pi + 1 < n_planes:
+                seq_dma(pi + 1, li, nslot, 0)
+            else:
+                @pl.when(li + 1 < total_steps)
+                def _prefetch():
+                    seq_dma(0, li + 1, nslot, 0)
+
+            # H~ pass: output rows = top block; E in {0, 1}
+            h_out = None
+            for e in sorted(_h_band_mats(pairs[pi][1], +1).keys()):
+                blk = win[e * _LANES : (e + 1) * _LANES].reshape(
+                    _LANES, win_blocks * _LANES
+                )
+                term = _dot_left(
+                    c_refs[const_index[("h", pi, e)]][:], blk, precision
+                )
+                h_out = term if h_out is None else h_out + term
+            # W~ pass on [128, win_blocks, 128]: acc_block[k] = out[k-1],
+            # valid at blocks [1 : wtile+1)
+            flatw = h_out.reshape(_LANES * win_blocks, _LANES)
+            w_acc = None
+            w_mats = _w_band_mats([pairs[pi][0]], +1)
+            e_max = max(w_mats.keys())
+            for e in sorted(w_mats.keys()):
+                view = _shift_rows(flatw, e_max - e)
+                term = _dot(view, c_refs[const_index[("w", pi, e)]][:],
+                            precision)
+                w_acc = term if w_acc is None else w_acc + term
+            contrib = w_acc.reshape(_LANES, win_blocks, _LANES)[
+                :, e_max : e_max + wtile, :
+            ]
+            acc = contrib if acc is None else acc + contrib
+        out_ref[:] = acc.astype(dtype)[None]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
+        out_specs=pl.BlockSpec(
+            (1, _LANES, wtile, _LANES),
+            lambda bi, t, s: (bi, t, s, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wk, _LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, win_rows, win_blocks, _LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        interpret=interpret,
+    )(*planes, *consts)
+    return out
+
+
+def imodwt2_multilevel_pallas(details, approx, w, boundary: str,
+                              precision: str, interpret: bool = False):
+    """Inverse of :func:`modwt2_multilevel_pallas` (standard layout in/out)."""
+    lead = approx.shape[:-2]
+    h, w_ = approx.shape[-2], approx.shape[-1]
+    levels = len(details)
+    inv = 1.0 / np.sqrt(2.0)
+    filters = (
+        tuple((np.asarray(w.rec_lo, np.float64) * inv).tolist()),
+        tuple((np.asarray(w.rec_hi, np.float64) * inv).tolist()),
+    )
+    planes = []
+    for lh, hl, hh in details:
+        planes.extend([lh, hl, hh])
+    planes.append(approx)
+    p4 = tuple(
+        p.reshape((-1, h, w_ // _LANES, _LANES)) for p in planes
+    )
+    wtile = 4 if (w_ // _LANES) % 4 == 0 else (2 if (w_ // _LANES) % 2 == 0 else 1)
+    out = _modwt2_synthesis_call(
+        p4,
+        levels=levels,
+        filters=filters,
+        wtile=wtile,
+        periodic=boundary.lower().startswith("per"),
+        precision=precision,
+        interpret=interpret,
+    )
+    return out.reshape(lead + (h, w_))
+
+
+def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
+                             precision: str, interpret: bool = False):
+    """[..., H, W] -> (((lh, hl, hh) per level), ll_J), standard layout."""
+    lead = x.shape[:-2]
+    h, w_ = x.shape[-2], x.shape[-1]
+    inv = 1.0 / np.sqrt(2.0)
+    filters = (
+        tuple((np.asarray(w.dec_lo, np.float64) * inv).tolist()),
+        tuple((np.asarray(w.dec_hi, np.float64) * inv).tolist()),
+    )
+    x4 = x.reshape((-1, h, w_ // _LANES, _LANES))
+    wtile = 4 if (w_ // _LANES) % 4 == 0 else (2 if (w_ // _LANES) % 2 == 0 else 1)
+    outs = _modwt2_analysis_call(
+        x4,
+        levels=levels,
+        filters=filters,
+        wtile=wtile,
+        periodic=boundary.lower().startswith("per"),
+        precision=precision,
+        interpret=interpret,
+    )
+    outs = [o.reshape(lead + (h, w_)) for o in outs]
+    details = tuple(
+        (outs[3 * j], outs[3 * j + 1], outs[3 * j + 2])
+        for j in range(levels)
+    )
+    return details, outs[3 * levels]

@@ -133,6 +133,20 @@ def modwt2_multilevel(
     w = _resolve_discrete(wavelet)
     n_min = min(x.shape[-1], x.shape[-2])
     _check_level_fits(w, levels, n_min)
+    from ..kernels.modwt2_pallas import modwt2_pallas_eligible
+
+    if modwt2_pallas_eligible(x, w, levels, boundary):
+        # true 2-D Pallas kernel: both separable passes in VMEM, subbands
+        # written in standard layout (no transposes/rolls through HBM)
+        from ..config import get_fused_precision
+        from ..kernels.modwt2_pallas import modwt2_multilevel_pallas
+        from ..kernels.modwt_pallas import pallas_available
+
+        details, ll = modwt2_multilevel_pallas(
+            x, w, levels, boundary, get_fused_precision(),
+            interpret=not pallas_available(),
+        )
+        return MultiLevelMODWT2Result(details, ll)
     if _fast2_eligible(x, levels, boundary):
         from ..config import get_fused_precision
         from ..kernels.modwt2_mxu import modwt2_multilevel_fast
@@ -199,6 +213,17 @@ def imodwt2_multilevel(
     boundary: str = "periodic",
 ) -> jnp.ndarray:
     w = _resolve_discrete(wavelet)
+    from ..kernels.modwt2_pallas import modwt2_pallas_eligible
+
+    if modwt2_pallas_eligible(result.approx, w, result.levels, boundary):
+        from ..config import get_fused_precision
+        from ..kernels.modwt2_pallas import imodwt2_multilevel_pallas
+        from ..kernels.modwt_pallas import pallas_available
+
+        return imodwt2_multilevel_pallas(
+            result.details, result.approx, w, boundary,
+            get_fused_precision(), interpret=not pallas_available(),
+        )
     if _fast2_eligible(result.approx, result.levels, boundary):
         from ..config import get_fused_precision
         from ..kernels.modwt2_mxu import imodwt2_multilevel_fast
