@@ -72,6 +72,18 @@ def main() -> None:
     t = _measure(lambda z: vw.idtcwt2(vw.dtcwt2(z, levels=4)), x2, iters=20)
     out["dtcwt2_roundtrip_512x512_ms"] = round(t, 3)
 
+    # 2b. 2-D MODWT roundtrip, 8 x 2048 x 2048 db4 J=4 (true 2-D Pallas
+    # kernel since r4; the XLA banded path measured 180 ms in-process,
+    # tools/probe_2d_breakdown.py)
+    x2b = jnp.asarray(rng.standard_normal((8, 2048, 2048)), jnp.float32)
+
+    def m2rt(z):
+        res = vw.modwt2_multilevel(z, "db4", levels=4)
+        return vw.imodwt2_multilevel(res, "db4")
+
+    t = _measure(m2rt, x2b, iters=3)
+    out["modwt2_roundtrip_8x2048_ms"] = round(t, 3)
+
     # 3. cwt2 bank, 256 x 256, 8 scales x 8 angles (complex stays on device)
     x3 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
     angles = tuple(np.linspace(0, np.pi, 8, endpoint=False))
@@ -178,6 +190,9 @@ def main() -> None:
                      "generated q-shift filters"},
             {"name": "DTCWT 2-D roundtrip 512x512, 4 levels",
              "ms": out["dtcwt2_roundtrip_512x512_ms"], "note": ""},
+            {"name": "2-D MODWT roundtrip 8x2048x2048 db4 J=4",
+             "ms": out["modwt2_roundtrip_8x2048_ms"],
+             "note": "true 2-D Pallas kernel (both passes in VMEM)"},
             {"name": "cwt2 bank 256x256, 8 scales x 8 angles",
              "ms": out["cwt2_8x8_256x256_ms"], "note": "complex stays on device"},
             {"name": "scattering1d order-2, 8x16384, J=6 Q=8",
