@@ -462,8 +462,28 @@ def render_perf_md(full: dict, latest: dict | None,
             "fully overlaps.  ~80% of bf16 peak is the practical ceiling "
             "of the separate-call round trip at 68 B/sample; workloads "
             "that do not need the planes in HBM should use the fused "
-            "denoise path instead.",
+            "one-pass tier instead.",
         ]
+        if "fused_roundtrip_msamples" in latest:
+            lines += [
+                "",
+                "## The fused one-pass round trip (8 B/sample)",
+                "",
+                f"`modwt_roundtrip_fused` keeps the planes in VMEM: "
+                f"**{latest['fused_roundtrip_msamples']:,.0f} Ms/s** = "
+                f"{latest['pct_mxu_peak_fused_roundtrip']}% of bf16 MXU peak "
+                f"(rmse {latest['fused_roundtrip_rmse']:.1e}), vs "
+                f"{latest['bf16_3x_msamples']:,.0f} for the materializing "
+                "path.  tools/probe_fused_gap.py decomposes the residual: "
+                "the dot chain runs at ~96.5% of peak PER PASS (fitting "
+                "rate vs pass count across bf16/bf16_3x/float32), and a "
+                "~0.036 ns/sample precision-INDEPENDENT floor — per-sample "
+                "VPU work (sublane rolls, partial-sum adds, plane slices), "
+                "invariant under roll-after-dot restructuring and "
+                "batch-tile sweeps — accounts for the rest.  Production "
+                f"denoise (decimated-MAD sigma + fused kernel): "
+                f"**{latest['denoise_fused_msamples']:,.0f} Ms/s**.",
+            ]
     if beyond and beyond.get("rows"):
         lines += [
             "",

@@ -82,7 +82,7 @@ bank = jnp.asarray(bank_np)
 
 def rfft_stage(z):
     s = jnp.fft.rfft(z, n=fft_size)
-    return z * 0.999 + 1e-30 * jnp.fft.irfft(s[:4], n=4)[:N].sum() + z * 0
+    return z * 0.999 + 1e-30 * jnp.sum(jnp.real(s) + jnp.imag(s))
 
 
 t_r = measure("rfft single row", rfft_stage, x, iters=20)

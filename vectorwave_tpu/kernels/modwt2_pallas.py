@@ -294,24 +294,30 @@ def _modwt2_analysis_call(
                     out = term if out is None else out + term
                 return out.reshape(_LANES, win_blocks, _LANES)[:, 1:, :]
 
+            def _flat_out(v):
+                # 3-D output blocks: Mosaic requires the last two block
+                # dims divisible by (8, 128) — (wtile, 128) is not, so
+                # outputs are [B, H, W] with block (1, 128, wtile*128)
+                return v.astype(dtype).reshape(_LANES, wtile * _LANES)[None]
+
             lh = h_apply(dw, "ha")
             hh = h_apply(dw, "hd")
             hl = h_apply(aw, "hd")
-            out_refs[oi][:] = lh.astype(dtype)[None]
-            out_refs[oi + 1][:] = hl.astype(dtype)[None]
-            out_refs[oi + 2][:] = hh.astype(dtype)[None]
+            out_refs[oi][:] = _flat_out(lh)
+            out_refs[oi + 1][:] = _flat_out(hl)
+            out_refs[oi + 2][:] = _flat_out(hh)
             oi += 3
             if j == levels - 1:
                 ll = h_apply(aw, "ha")
-                out_refs[oi][:] = ll.astype(dtype)[None]
+                out_refs[oi][:] = _flat_out(ll)
 
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, wk, _LANES), dtype) for _ in range(n_out)
+        jax.ShapeDtypeStruct((b, h, wk * _LANES), dtype) for _ in range(n_out)
     ]
     out_specs = [
         pl.BlockSpec(
-            (1, _LANES, wtile, _LANES),
-            lambda bi, t, s: (bi, t, s, 0),
+            (1, _LANES, wtile * _LANES),
+            lambda bi, t, s: (bi, t, s),
             memory_space=pltpu.VMEM,
         )
         for _ in range(n_out)
@@ -538,7 +544,7 @@ def _modwt2_synthesis_call(
                 :, e_max : e_max + wtile, :
             ]
             acc = contrib if acc is None else acc + contrib
-        out_ref[:] = acc.astype(dtype)[None]
+        out_ref[:] = acc.astype(dtype).reshape(_LANES, wtile * _LANES)[None]
 
     out = pl.pallas_call(
         kernel,
@@ -546,11 +552,11 @@ def _modwt2_synthesis_call(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_planes
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in consts],
         out_specs=pl.BlockSpec(
-            (1, _LANES, wtile, _LANES),
-            lambda bi, t, s: (bi, t, s, 0),
+            (1, _LANES, wtile * _LANES),
+            lambda bi, t, s: (bi, t, s),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, wk, _LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, wk * _LANES), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, win_rows, win_blocks, _LANES), dtype),
             pltpu.SemaphoreType.DMA((2, 4)),
