@@ -585,6 +585,7 @@ def imodwt2_multilevel_pallas(details, approx, w, boundary: str,
         p.reshape((-1, h, w_ // _LANES, _LANES)) for p in planes
     )
     wtile = 4 if (w_ // _LANES) % 4 == 0 else (2 if (w_ // _LANES) % 2 == 0 else 1)
+    # synthesis holds ONE plane window + a single output block - wtile=4 fits
     out = _modwt2_synthesis_call(
         p4,
         levels=levels,
@@ -608,7 +609,10 @@ def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
         tuple((np.asarray(w.dec_hi, np.float64) * inv).tolist()),
     )
     x4 = x.reshape((-1, h, w_ // _LANES, _LANES))
-    wtile = 4 if (w_ // _LANES) % 4 == 0 else (2 if (w_ // _LANES) % 2 == 0 else 1)
+    # wtile=2: 13 revolving output blocks + window scratch must fit the
+    # 16 MB scoped VMEM limit (wtile=4 compiled to 18.4 MB and was
+    # rejected by Mosaic's stack allocator)
+    wtile = 2 if (w_ // _LANES) % 2 == 0 else 1
     outs = _modwt2_analysis_call(
         x4,
         levels=levels,

@@ -1332,10 +1332,11 @@ def run_synthesis_composite(coeff_planes, levels, filters, periodic, tile,
     static_argnames=(
         "levels", "filters_dec", "filters_rec", "b_tile", "tile_rows",
         "halo_rows", "mode", "precision", "interpret", "zero_tail",
+        "inline_halo", "periodic",
     ),
 )
 def _composite_denoise_call(
-    x: jnp.ndarray,  # [B, R_total, 128]; halo_rows prepended AND appended
+    x: jnp.ndarray,  # [B, R_total, 128]; halos prepended/appended UNLESS inline
     thresholds: jnp.ndarray,  # [B, levels] f32, per (signal, level)
     *,
     levels: int,
@@ -1348,6 +1349,8 @@ def _composite_denoise_call(
     precision: str,
     interpret: bool,
     zero_tail: bool = False,
+    inline_halo: bool = False,
+    periodic: bool = True,
 ):
     """One-pass denoise kernel (double-buffered input DMA).
 
@@ -1381,7 +1384,7 @@ def _composite_denoise_call(
 
     b, r_total, _ = x.shape
     window_rows = tile_rows + 2 * halo_rows
-    r_out = r_total - 2 * halo_rows
+    r_out = r_total if inline_halo else r_total - 2 * halo_rows
     num_t = r_out // tile_rows
     grid = (b // b_tile, num_t)
     total_steps = (b // b_tile) * num_t
@@ -1404,16 +1407,72 @@ def _composite_denoise_call(
         li = bi * num_t + t
 
         def window_dma(bi2, t2, slot, phase):
-            c = pltpu.make_async_copy(
-                x_hbm.at[
-                    pl.ds(bi2 * b_tile, b_tile),
-                    pl.ds(t2 * tile_rows, window_rows),
-                    :,
-                ],
-                scratch.at[slot],
-                sems.at[slot],
-            )
-            c.start() if phase == 0 else c.wait()
+            bs2 = pl.ds(bi2 * b_tile, b_tile)
+            if not inline_halo:
+                c = pltpu.make_async_copy(
+                    x_hbm.at[bs2, pl.ds(t2 * tile_rows, window_rows), :],
+                    scratch.at[slot],
+                    sems.at[slot, 0],
+                )
+                c.start() if phase == 0 else c.wait()
+                return
+
+            # inline: window [left halo | tile | right halo] fetched from
+            # the UNEXTENDED input — the wrapper's extend path was a full
+            # read+write copy of x (~8 B/sample, about HALF of the fused
+            # round trip's precision-independent overhead)
+            def _copy(dst_off, src_row, rows, sem_i):
+                c = pltpu.make_async_copy(
+                    x_hbm.at[bs2, pl.ds(src_row, rows), :],
+                    scratch.at[slot, :, pl.ds(dst_off, rows), :],
+                    sems.at[slot, sem_i],
+                )
+                c.start() if phase == 0 else c.wait()
+
+            def _left_fill():
+                if periodic:
+                    _copy(0, r_out - halo_rows, halo_rows, 1)
+                elif phase == 0:
+                    scratch[slot, :, :halo_rows, :] = jnp.zeros(
+                        (b_tile, halo_rows, _LANES), dtype
+                    )
+
+            def _right_fill():
+                if periodic:
+                    _copy(tile_rows + halo_rows, 0, halo_rows, 2)
+                elif phase == 0:
+                    scratch[slot, :, tile_rows + halo_rows :, :] = jnp.zeros(
+                        (b_tile, halo_rows, _LANES), dtype
+                    )
+
+            if num_t == 1:
+                _copy(halo_rows, 0, tile_rows, 0)
+                _left_fill()
+                _right_fill()
+                return
+
+            def _interior():
+                c = pltpu.make_async_copy(
+                    x_hbm.at[
+                        bs2, pl.ds(t2 * tile_rows - halo_rows, window_rows), :
+                    ],
+                    scratch.at[slot],
+                    sems.at[slot, 0],
+                )
+                c.start() if phase == 0 else c.wait()
+
+            def _first():
+                _copy(halo_rows, 0, tile_rows + halo_rows, 0)
+                _left_fill()
+
+            def _last():
+                _copy(0, t2 * tile_rows - halo_rows, tile_rows + halo_rows, 0)
+                _right_fill()
+
+            pl.when(t2 == 0)(_first)
+            pl.when(t2 == num_t - 1)(_last)
+            if num_t > 2:
+                pl.when(jnp.logical_and(t2 != 0, t2 != num_t - 1))(_interior)
 
         @pl.when(li == 0)
         def _prologue():
@@ -1510,7 +1569,7 @@ def _composite_denoise_call(
         out_shape=jax.ShapeDtypeStruct((b, r_out, _LANES), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, b_tile, window_rows, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * macs * b * r_out,
@@ -1565,19 +1624,11 @@ def run_denoise_composite(
     if tiles is None:
         return None
     span, halo_rows, b_tile, tile_rows = tiles
-    rows = _to_rows(x)
-    if periodic:
-        left = rows[:, -halo_rows:, :]
-        right = rows[:, :halo_rows, :]
-    else:
-        left = jnp.zeros((b, halo_rows, _LANES), x.dtype)
-        right = left
-    ext = jnp.concatenate([left, rows, right], axis=1)
     th_lanes = jnp.broadcast_to(
         thresholds.astype(jnp.float32)[:, :, None], (b, levels, _LANES)
     )
     out = _composite_denoise_call(
-        ext,
+        _to_rows(x),
         th_lanes,
         levels=levels,
         filters_dec=filters_dec,
@@ -1589,5 +1640,7 @@ def run_denoise_composite(
         precision=precision,
         interpret=interpret,
         zero_tail=not periodic,
+        inline_halo=True,
+        periodic=periodic,
     )
     return _from_rows(out)
