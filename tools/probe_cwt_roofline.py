@@ -45,8 +45,13 @@ def measure(label, fn, arg, iters=20, reader=None):
     def chain(z):
         return jax.lax.fori_loop(0, iters, lambda _, y: fn(y), z)
 
-    out = chain(arg)
-    (reader or (lambda o: np.asarray(o.reshape(-1)[:2])))(out)
+    try:
+        out = chain(arg)
+        (reader or (lambda o: np.asarray(o.reshape(-1)[:2])))(out)
+    except Exception as exc:  # noqa: BLE001 - axon UNIMPLEMENTED quirks
+        print(f"{label}: FAILED {type(exc).__name__}: {str(exc)[:120]}",
+              flush=True)
+        return 0.0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -85,9 +90,6 @@ def rfft_stage(z):
     return z * 0.999 + 1e-30 * jnp.sum(jnp.real(s) + jnp.imag(s))
 
 
-t_r = measure("rfft single row", rfft_stage, x, iters=20)
-
-
 def fft_chain_stage(z):
     """rfft + 64-scale pointwise + 64-row irfft — the cwt engine's exact
     device work minus coefficient assembly."""
@@ -98,6 +100,7 @@ def fft_chain_stage(z):
 
 
 t_ir = measure("rfft + pointwise + irfft[64]", fft_chain_stage, x, iters=10)
+t_r = measure("rfft single row", rfft_stage, x, iters=20)
 t_pw = 0.0
 
 # HBM context

@@ -584,8 +584,10 @@ def imodwt2_multilevel_pallas(details, approx, w, boundary: str,
     p4 = tuple(
         p.reshape((-1, h, w_ // _LANES, _LANES)) for p in planes
     )
-    wtile = 4 if (w_ // _LANES) % 4 == 0 else (2 if (w_ // _LANES) % 2 == 0 else 1)
-    # synthesis holds ONE plane window + a single output block - wtile=4 fits
+    wk = w_ // _LANES
+    # synthesis holds ONE plane window + a single output block, so a wide
+    # tile fits: fewer grid steps amortize the per-plane DMA sequencing
+    wtile = 8 if wk % 8 == 0 else (4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
     out = _modwt2_synthesis_call(
         p4,
         levels=levels,

@@ -160,7 +160,7 @@ def _composed_tree_planes(stages):
     return planes
 
 
-def _dtcwt_kernel_eligible(n: int, dtype, span: int) -> bool:
+def _dtcwt_kernel_eligible(n: int, dtype, span: int, batch: int = 1) -> bool:
     from ..config import get_backend
     from ..kernels.modwt_pallas import pallas_available
 
@@ -170,6 +170,10 @@ def _dtcwt_kernel_eligible(n: int, dtype, span: int) -> bool:
     if dtype not in (jnp.float32,):
         return False
     if n % 128 != 0 or n < max(2 * span, 256):
+        return False
+    if batch * n > (1 << 21):
+        # merged-tree bank calls overflow Mosaic's scoped VMEM budget at
+        # large B*N (remote compile HTTP 500 at 128x64K) — fall back
         return False
     if backend == "auto" and not pallas_available():
         return False
@@ -191,7 +195,7 @@ def _dtcwt_kernel_analysis(x, wavelet, levels: int):
     for tree in ("a", "b"):
         planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
         span = max(len(t) for t, _, _ in planes) - 1
-        if not _dtcwt_kernel_eligible(n, x2.dtype, span):
+        if not _dtcwt_kernel_eligible(n, x2.dtype, span, x2.shape[0]):
             return None
         planes_ab.append(planes)
     dense_rev = tuple(
@@ -241,7 +245,10 @@ def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
     for tree in ("a", "b"):
         planes = _composed_tree_planes(_tree_stage_filters(wavelet, levels, tree))
         span = max(len(t) for t, _, _ in planes) - 1
-        if not _dtcwt_kernel_eligible(n, result.lowpass_a.dtype, span):
+        if not _dtcwt_kernel_eligible(
+            n, result.lowpass_a.dtype, span,
+            int(np.prod(result.lowpass_a.shape[:-1]) or 1),
+        ):
             return None
         all_dense.extend(
             tuple((0.5 * t[::-1]).tolist()) for t, _, _ in planes

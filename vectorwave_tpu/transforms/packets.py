@@ -302,6 +302,12 @@ def _modwpt_tree_kernel(x2, w, levels: int, boundary: str):
     span = max(len(t) for t in all_taps) - 1
     if not _pair_kernel_ok(x2, boundary, span):
         return None
+    # the 2^(J+1)-2 output planes' revolving VMEM blocks + the wide band
+    # constants overflow Mosaic's scoped budget at large B*N (128x64K
+    # failed remote compile) — big shapes take the per-level pair path,
+    # which tiles each call independently
+    if x2.shape[0] * x2.shape[1] > (1 << 21) or levels > 5:
+        return None
     dense = tuple(tuple(t.tolist()) for t in all_taps)
     outs = _bank_ana_core(
         x2, dense, boundary.lower().startswith("per"),
@@ -329,6 +335,8 @@ def _imodwpt_tree_kernel(leaves2, w, boundary: str):
     span = max(len(t) for t in leaf_taps) - 1
     if not _pair_kernel_ok(leaves2[0], boundary, span):
         return None
+    if leaves2[0].shape[0] * leaves2[0].shape[1] > (1 << 21) or depth > 5:
+        return None  # see _modwpt_tree_kernel: scoped-VMEM guard
     dense = tuple(tuple(t.tolist()) for t in leaf_taps)
     return _bank_syn_core(
         tuple(leaves2), dense, boundary.lower().startswith("per"),
