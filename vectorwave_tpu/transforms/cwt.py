@@ -272,6 +272,37 @@ def cwt(
         out = jnp.fft.ifft(prod, axis=-1)[..., :n]
         return CWTResult(out, scales, boundary)
 
+    # hybrid: small-support scales through the banded-MXU bank kernel —
+    # the per-scale XLA irfft costs ~0.79 ms at 1M samples and is 100% of
+    # cfg5's latency (tools/probe_cwt_scales.py: slope*scales = 102.6% of
+    # the total, running ~80x above its own HBM floor), so a direct MXU
+    # correlation wins for every scale whose support keeps the dot chain
+    # under that — supports <= ~4K at 3-pass precision
+    n_small = _kernel_direct_split(x, w, scales, boundary, real_dtype)
+    if n_small:
+        out_small = _cwt_kernel_direct(
+            x, w, scales[:n_small], real_dtype
+        )
+        if n_small == len(scales):
+            return CWTResult(out_small, scales, boundary)
+        large = scales[n_small:]
+        spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
+        if big:
+            bank_spec = _device_bank_spec(
+                w, large, fft_size, True, complex_dtype
+            )
+        else:
+            bank_l, _ = _sample_bank(w, large, fft_size)
+            bank_spec = _device_complex(
+                np.conj(np.fft.rfft(bank_l.real, axis=-1)), complex_dtype
+            )
+        prod = spec_x[..., None, :] * bank_spec
+        out_large = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
+        out = jnp.concatenate(
+            [out_small, out_large.astype(real_dtype)], axis=-2
+        )
+        return CWTResult(out, scales, boundary)
+
     spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
     if big:
         bank_spec = _device_bank_spec(w, scales, fft_size, True, complex_dtype)
@@ -282,6 +313,91 @@ def cwt(
     prod = spec_x[..., None, :] * bank_spec
     out = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
     return CWTResult(out.astype(real_dtype), scales, boundary)
+
+
+#: largest half-support served by the kernel-direct CWT tier (span 2*half;
+#: above this the 3-pass dot chain stops beating the ~0.79 ms/scale irfft)
+_KERNEL_DIRECT_MAX_HALF = 2048
+
+
+def _kernel_direct_split(x, w, scales, boundary, real_dtype) -> int:
+    """How many LEADING scales the banded-MXU direct tier should serve
+    (scales are required ascending for the split; 0 = none)."""
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+
+    backend = get_backend()
+    if backend == "jnp":
+        return 0
+    if backend == "auto" and not pallas_available():
+        return 0
+    if boundary != "periodic" or real_dtype != jnp.float32:
+        return 0
+    n = x.shape[-1]
+    if n % 128 != 0 or n < 4 * _KERNEL_DIRECT_MAX_HALF:
+        return 0
+    if list(scales) != sorted(scales):
+        return 0
+    n_small = 0
+    for s in scales:
+        if _half_support(s, w.bandwidth) > _KERNEL_DIRECT_MAX_HALF:
+            break
+        n_small += 1
+    return n_small
+
+
+def _cwt_kernel_direct(x, w, scales_sub, real_dtype):
+    """Real-wavelet periodic CWT rows via the composite bank kernel.
+
+    Per chunk of similar-support scales: one multi-output backward-read
+    bank call with the reversed, max-half-rebased taps, then a ``-maxhalf``
+    roll per row restores the two-sided correlation alignment
+    (``out[t] = sum_k x[t+k] psi(k/s)/sqrt(s)`` — the FFT path's exact
+    semantics).  Runs at the fused default precision (bf16_3x, ~1e-5
+    relative — the tier trades the FFT path's f32 rounding for a 3-10x
+    latency win per scale).
+    """
+    from ..config import get_fused_precision
+    from ..kernels.modwt_pallas import pallas_available
+    from .packets import _bank_ana_core
+
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    x2 = x.astype(real_dtype).reshape(-1, n)
+    halves = [_half_support(s, w.bandwidth) for s in scales_sub]
+    # chunk: bounded total band-matrix blocks per kernel call
+    chunks: list[list[int]] = [[]]
+    blocks = 0
+    for i, h in enumerate(halves):
+        cost = 2 * h // 128 + 2
+        if chunks[-1] and blocks + cost > 96:
+            chunks.append([])
+            blocks = 0
+        chunks[-1].append(i)
+        blocks += cost
+    rows = [None] * len(scales_sub)
+    interpret = not pallas_available()
+    prec = get_fused_precision()
+    for chunk in chunks:
+        maxhalf = max(halves[i] for i in chunk)
+        dense = []
+        for i in chunk:
+            s = scales_sub[i]
+            m = np.arange(2 * maxhalf + 1)
+            k = maxhalf - m  # taps d[m] = c_{maxhalf - m}
+            c = np.zeros(2 * maxhalf + 1)
+            mask = np.abs(k) <= halves[i]
+            c[mask] = (
+                np.asarray(w.psi(k[mask] / s)).real / math.sqrt(s)
+            )
+            dense.append(tuple(c.tolist()))
+        outs = _bank_ana_core(
+            x2, tuple(dense), True, prec, interpret
+        )
+        for slot, i in enumerate(chunk):
+            rows[i] = jnp.roll(outs[slot], -maxhalf, axis=-1)
+    out = jnp.stack(rows, axis=-2)
+    return out.reshape(lead + (len(scales_sub), n))
 
 
 def _cwt_direct(
