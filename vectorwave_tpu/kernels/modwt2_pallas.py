@@ -35,11 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# (functools used by the jit wrappers below)
-
 from .modwt2_mxu import composite_planes_split
 from .modwt_mxu import _dot
-from .modwt_pallas import _round_up
 
 _LANES = 128
 
@@ -119,7 +116,7 @@ def modwt2_pallas_eligible(x, w, levels: int, boundary: str) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "filters", "wtile", "periodic", "precision",
-                     "interpret"),
+                     "interpret", "level_range"),
 )
 def _modwt2_analysis_call(
     x4: jnp.ndarray,  # [B, H, Wk, 128]
@@ -130,6 +127,10 @@ def _modwt2_analysis_call(
     periodic: bool,
     precision: str,
     interpret: bool,
+    level_range: tuple | None = None,  # (j_lo, j_hi) 1-based inclusive —
+    # splitting the level set across calls keeps the revolving output
+    # blocks + per-level temporaries inside Mosaic's 16 MB scoped VMEM at
+    # wtile=4 (one 13-output call compiled to 18.4 MB and was rejected)
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -145,17 +146,19 @@ def _modwt2_analysis_call(
     win_blocks = 1 + wtile  # one wrap/halo block + wtile output blocks
     dtype = x4.dtype
 
+    j_lo, j_hi = level_range if level_range is not None else (1, levels)
+    js = list(range(j_lo - 1, j_hi))  # 0-based level indices served
     # constants: per-level W band mats for (D_j, A_j) pairs; H left mats
-    w_mats = []  # per j: {e: [128, 256]}
-    h_d_mats = []  # per j: {E: [128, 128]}
-    h_a_mats = []
-    for j in range(levels):
-        w_mats.append(_w_band_mats([ds[j], as_[j]], -1))
-        h_d_mats.append(_h_band_mats(ds[j], -1))
-        h_a_mats.append(_h_band_mats(as_[j], -1))
+    w_mats = {}  # per j: {e: [128, 256]}
+    h_d_mats = {}  # per j: {E: [128, 128]}
+    h_a_mats = {}
+    for j in js:
+        w_mats[j] = _w_band_mats([ds[j], as_[j]], -1)
+        h_d_mats[j] = _h_band_mats(ds[j], -1)
+        h_a_mats[j] = _h_band_mats(as_[j], -1)
     consts = []
     const_index = {}
-    for j in range(levels):
+    for j in js:
         for e, m in sorted(w_mats[j].items()):
             const_index[("w", j, e)] = len(consts)
             consts.append(jnp.asarray(m, jnp.float32))
@@ -163,7 +166,8 @@ def _modwt2_analysis_call(
             for e, m in sorted(mats.items()):
                 const_index[(tag, j, e)] = len(consts)
                 consts.append(jnp.asarray(m, jnp.float32))
-    n_out = 3 * levels + 1
+    with_ll = j_hi == levels
+    n_out = 3 * len(js) + (1 if with_ll else 0)
 
     def kernel(x_hbm, *rest):
         c_refs = rest[: len(consts)]
@@ -268,7 +272,7 @@ def _modwt2_analysis_call(
         win = scratch[li % 2]  # [win_rows, win_blocks, 128]
         flat = win.reshape(win_rows * win_blocks, _LANES)
         oi = 0
-        for j in range(levels):
+        for j in js:
             # W pass: both filters of level j at once -> [.., 256]
             acc = None
             for e in sorted(w_mats[j].keys()):
@@ -307,7 +311,7 @@ def _modwt2_analysis_call(
             out_refs[oi + 1][:] = _flat_out(hl)
             out_refs[oi + 2][:] = _flat_out(hh)
             oi += 3
-            if j == levels - 1:
+            if with_ll and j == levels - 1:
                 ll = h_apply(aw, "ha")
                 out_refs[oi][:] = _flat_out(ll)
 
@@ -611,19 +615,29 @@ def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
         tuple((np.asarray(w.dec_hi, np.float64) * inv).tolist()),
     )
     x4 = x.reshape((-1, h, w_ // _LANES, _LANES))
-    # wtile=2: 13 revolving output blocks + window scratch must fit the
-    # 16 MB scoped VMEM limit (wtile=4 compiled to 18.4 MB and was
-    # rejected by Mosaic's stack allocator)
-    wtile = 2 if (w_ // _LANES) % 2 == 0 else 1
-    outs = _modwt2_analysis_call(
-        x4,
-        levels=levels,
-        filters=filters,
-        wtile=wtile,
-        periodic=boundary.lower().startswith("per"),
-        precision=precision,
-        interpret=interpret,
-    )
+    wk = w_ // _LANES
+    # wtile=8 overflows scoped VMEM even with split level groups
+    wtile = 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
+    periodic = boundary.lower().startswith("per")
+    # split deep level sets across calls: one 13-output wtile=4 call
+    # overflowed Mosaic's 16 MB scoped VMEM (18.4 MB)
+    if levels <= 2:
+        ranges = [(1, levels)]
+    else:
+        mid = (levels + 1) // 2
+        ranges = [(1, mid), (mid + 1, levels)]
+    outs = []
+    for rng_ in ranges:
+        outs.extend(_modwt2_analysis_call(
+            x4,
+            levels=levels,
+            filters=filters,
+            wtile=wtile,
+            periodic=periodic,
+            precision=precision,
+            interpret=interpret,
+            level_range=rng_,
+        ))
     outs = [o.reshape(lead + (h, w_)) for o in outs]
     details = tuple(
         (outs[3 * j], outs[3 * j + 1], outs[3 * j + 2])

@@ -40,7 +40,6 @@ from .modwt_mxu import (
     _composite_analysis_call,
     _composite_synthesis_call,
     _const_terms,
-    _dot_prepped,
     _shift_rows,
     _to_rows,
     _from_rows,
