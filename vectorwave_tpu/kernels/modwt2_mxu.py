@@ -18,13 +18,13 @@ Pallas kernels' 8-row halo quantization would dominate signals of 4-16
 rows).
 
 Measured (TPU v5e, 8x2048x2048 db4 J=4): ANALYSIS alone 32 ms vs the
-per-level à trous path's ~85 ms (2.7x — one multi-plane pass replaces
-J per-level pyramids), which serves analysis-only consumers (energy
-maps, feature extraction).  The full ROUND TRIP is a wash (~174 vs
-176 ms): at these sizes both formulations are bound by the executor's
-handling of the ~50 half-GB intermediate fields, not by VPU-vs-MXU
-arithmetic — a dedicated 2-D Pallas kernel holding a row-band of the
-image in VMEM is the known next step if 2-D round trips become hot.
+per-level à trous path's ~85 ms; the full ROUND TRIP through this XLA
+path is ~180 ms, bound by transposes and block rolls through HBM
+(tools/probe_2d_breakdown.py: one swapaxes = 3.3 ms).  Since round 4 the
+hot path is the TRUE 2-D Pallas kernel (kernels/modwt2_pallas.py — both
+separable passes in VMEM, 63.6 ms for the same round trip); this module
+remains the portable fallback for spans > 128 / unaligned shapes and
+defines the semantics the Pallas kernel is tested against.
 
 Reference 2-D analogue: none (the reference is 1-D only); the jnp path in
 ``transforms/twodim.py`` defines the semantics these matmuls must match.
