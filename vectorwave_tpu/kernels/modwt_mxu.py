@@ -1511,7 +1511,10 @@ def _composite_denoise_call(
                     b_tile, 1, _LANES
                 )
                 if mode == "soft":
-                    d3 = jnp.sign(d3) * jnp.maximum(jnp.abs(d3) - tj, 0.0)
+                    # d - clamp(d, -t, t) == sign(d) * max(|d| - t, 0)
+                    # exactly, at half the VPU passes (the shrink runs on
+                    # every detail element in VMEM)
+                    d3 = d3 - jnp.clip(d3, -tj, tj)
                 else:
                     d3 = jnp.where(jnp.abs(d3) > tj, d3, jnp.zeros_like(d3))
             shrunk.append(d3.reshape(b_tile * window_rows, _LANES))
