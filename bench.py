@@ -233,7 +233,10 @@ def main() -> None:
                 y, WAVELET, levels=LEVELS, method="universal", mode="soft"
             )
 
-        t_dn = _measure(dn, x, iters=50)
+        # full ITERS: at iters=50 the fixed per-readback tunnel overhead
+        # (~12 ms) biased this row ~15% low (tools/probe_sigma_ladder.py —
+        # in one process, denoise@100 iters == roundtrip@100 iters)
+        t_dn = _measure(dn, x)
         extras["denoise_fused_msamples"] = round(BATCH * N / t_dn / 1e6, 1)
         print(f"bench: fused denoise: {extras['denoise_fused_msamples']:.0f} "
               "Msamples/s", file=sys.stderr, flush=True)

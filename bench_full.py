@@ -247,7 +247,7 @@ def measure_all() -> dict:
         ("symmetric kernel-tier roundtrip 128x64K db4 6-level",
          sym_roundtrip, sig(65536, 128), 100, 128 * 65536),
         ("fused one-pass denoise 128x64K db4 6-level universal-soft",
-         fused_denoise_row, sig(65536, 128), 50, 128 * 65536),
+         fused_denoise_row, sig(65536, 128), 150, 128 * 65536),
         ("fused one-pass roundtrip 128x64K db4 6-level",
          fused_roundtrip_row, sig(65536, 128), 100, 128 * 65536),
         ("kernel block streaming 128 streams x 8x8K blocks db4 6-level zero",
