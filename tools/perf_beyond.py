@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _measure(fn, x, iters=50, reps=3):
+def _measure(fn, x, iters=150, reps=3):
     @jax.jit
     def repeat(y):
         return jax.lax.fori_loop(0, iters, lambda _, z: fn(z), y)
@@ -58,6 +58,12 @@ def main() -> None:
     t = _measure(lambda z: imodwpt(modwpt(z, "sym8", 4), "sym8"), x1)
     out["modwpt4_roundtrip_8x16384_ms"] = round(t, 3)
     out["modwpt4_msamples_per_s"] = round(8 * 16384 / (t / 1e3) / 1e6, 1)
+    # production-batch rate (tile-saturated; the 8x16K row is latency-class)
+    x1b = jnp.asarray(rng.standard_normal((64, 16384)), jnp.float32)
+    tb = _measure(lambda z: imodwpt(modwpt(z, "sym8", 4), "sym8"), x1b,
+                  iters=100)
+    out["modwpt4_roundtrip_64x16384_ms"] = round(tb, 3)
+    out["modwpt4_msamples_per_s_64"] = round(64 * 16384 / (tb / 1e3) / 1e6, 1)
 
     # 2. wavelet variance, 1M samples, 6 levels
     x2 = jnp.asarray(rng.standard_normal(1 << 20), jnp.float32)
@@ -101,7 +107,8 @@ def main() -> None:
             {"name": "MODWPT depth-4 roundtrip, 8x16384 sym8",
              "ms": out["modwpt4_roundtrip_8x16384_ms"],
              "note": f"{out['modwpt4_msamples_per_s']:.0f} Msamples/s "
-                     "through 2x15 convolution stages"},
+                     "(latency-class shape); 64x16K batch: "
+                     f"{out['modwpt4_msamples_per_s_64']:.0f} Ms/s"},
             {"name": "wavelet_variance 1M samples, 6-level db4 + CIs",
              "ms": out["wavelet_variance_1M_6lvl_ms"], "note": ""},
             {"name": "wavelet_coherence morl 32 scales x 32768",

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _measure(fn, x, iters=50, reps=3):
+def _measure(fn, x, iters=150, reps=3):
     @jax.jit
     def repeat(y):
         return jax.lax.fori_loop(0, iters, lambda _, z: fn(z), y)
@@ -66,6 +66,10 @@ def main() -> None:
     t = _measure(lambda z: vw.idtcwt(vw.dtcwt(z, levels=5)), x1)
     out["dtcwt5_roundtrip_8x16384_ms"] = round(t, 3)
     out["dtcwt5_msamples_per_s"] = round(8 * 16384 / (t / 1e3) / 1e6, 1)
+    x1b = jnp.asarray(rng.standard_normal((64, 16384)), jnp.float32)
+    tb = _measure(lambda z: vw.idtcwt(vw.dtcwt(z, levels=5)), x1b, iters=100)
+    out["dtcwt5_roundtrip_64x16384_ms"] = round(tb, 3)
+    out["dtcwt5_msamples_per_s_64"] = round(64 * 16384 / (tb / 1e3) / 1e6, 1)
 
     # 2. DTCWT 2-D roundtrip, 512 x 512, 4 levels
     x2 = jnp.asarray(rng.standard_normal((512, 512)), jnp.float32)
@@ -186,7 +190,9 @@ def main() -> None:
         [
             {"name": "DTCWT 1-D roundtrip 8x16384, 5 levels",
              "ms": out["dtcwt5_roundtrip_8x16384_ms"],
-             "note": f"{out['dtcwt5_msamples_per_s']:.0f} Msamples/s, "
+             "note": f"{out['dtcwt5_msamples_per_s']:.0f} Msamples/s "
+                     "(latency-class shape); 64x16K batch: "
+                     f"{out['dtcwt5_msamples_per_s_64']:.0f} Ms/s; "
                      "generated q-shift filters"},
             {"name": "DTCWT 2-D roundtrip 512x512, 4 levels",
              "ms": out["dtcwt2_roundtrip_512x512_ms"], "note": ""},

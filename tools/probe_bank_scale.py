@@ -4,6 +4,8 @@ The BENCH_BEYOND rows pin tiny shapes (8x16K = 131K samples), where the
 ~0.1-0.2 ms per-dispatch floor of this tunneled runtime dominates: the
 rows measure LATENCY, not the tier's rate class.  This probe measures the
 same roundtrips at production batch sizes so PERF.md can state both.
+iters=100: at iters<=20 the ~12 ms fixed readback overhead biased large
+shapes up to 2.4 ms/iter low (see tools/probe_sigma_ladder.py).
 Run: python -u tools/probe_bank_scale.py
 """
 import os
@@ -24,7 +26,7 @@ import vectorwave_tpu as vw
 from vectorwave_tpu.transforms.packets import imodwpt, modwpt
 
 
-def measure(label, fn, x, iters=20):
+def measure(label, fn, x, iters=100):
     @jax.jit
     def chain(z):
         return jax.lax.fori_loop(0, iters, lambda _, y: fn(y), z)
@@ -57,8 +59,8 @@ rng = np.random.default_rng(0)
 for b, n in ((8, 16384), (64, 16384), (128, 65536)):
     x = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
     measure(f"modwpt d4 rt {b}x{n//1024}K", wpt_rt, x,
-            iters=20 if b * n < 4_000_000 else 5)
+            iters=100)
 for b, n in ((8, 16384), (64, 16384), (128, 65536)):
     x = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
     measure(f"dtcwt 5L rt {b}x{n//1024}K", dt_rt, x,
-            iters=20 if b * n < 4_000_000 else 5)
+            iters=100)

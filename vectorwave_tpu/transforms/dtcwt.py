@@ -171,9 +171,19 @@ def _dtcwt_kernel_eligible(n: int, dtype, span: int, batch: int = 1) -> bool:
         return False
     if n % 128 != 0 or n < max(2 * span, 256):
         return False
-    if batch * n > (1 << 21):
-        # merged-tree bank calls overflow Mosaic's scoped VMEM budget at
-        # large B*N (remote compile HTTP 500 at 128x64K) — fall back
+    from .packets import _BANK_CALL_BUDGET, _bank_rows_per_call
+
+    if n > _BANK_CALL_BUDGET:
+        # merged-tree bank calls overflow Mosaic's scoped VMEM budget
+        # beyond ~2^20 samples per call (remote compile HTTP 500); a
+        # single SIGNAL beyond the budget cannot be chunked — fall back
+        return False
+    rows = _bank_rows_per_call(batch, n)
+    if batch > rows and rows < 32:
+        # row-chunking is a net loss for DTCWT below ~32 rows/call: the
+        # full-rate bank already wastes FLOPs vs decimation, and the
+        # zero-stuff/roll glue runs at full batch either way — measured
+        # 382 Ms/s chunked vs 771 Ms/s decimated fallback at 128x64K
         return False
     if backend == "auto" and not pallas_available():
         return False
@@ -186,7 +196,7 @@ def _dtcwt_kernel_analysis(x, wavelet, levels: int):
     one multi-output bank), or None when ineligible."""
     from ..config import get_fused_precision
     from ..kernels.modwt_pallas import pallas_available
-    from .packets import _bank_ana_core
+    from .packets import _bank_ana_chunked
 
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -203,7 +213,7 @@ def _dtcwt_kernel_analysis(x, wavelet, levels: int):
         for planes in planes_ab
         for t, _, _ in planes
     )
-    y = _bank_ana_core(
+    y = _bank_ana_chunked(
         x2, dense_rev, True, get_fused_precision(), not pallas_available()
     )
     trees = {}
@@ -232,7 +242,7 @@ def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
     tree on zero-stuffed planes.  Returns None when ineligible."""
     from ..config import get_fused_precision
     from ..kernels.modwt_pallas import pallas_available
-    from .packets import _bank_syn_core
+    from .packets import _bank_syn_chunked
 
     levels = result.levels
     lead = result.lowpass_a.shape[:-1]
@@ -267,7 +277,7 @@ def _dtcwt_kernel_synthesis(result: DTCWTResult, wavelet):
                 jnp.roll(c2, q % c2.shape[-1], axis=-1)
             )
             all_stuffed.append(buf)
-    out = _bank_syn_core(
+    out = _bank_syn_chunked(
         tuple(all_stuffed), tuple(all_dense), True, get_fused_precision(),
         not pallas_available(),
     )

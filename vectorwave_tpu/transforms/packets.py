@@ -259,6 +259,52 @@ def _bank_syn_bwd(dense, periodic, precision, interpret, _, cot):
 
 _bank_syn_core.defvjp(_bank_syn_fwd, _bank_syn_bwd)
 
+#: scoped-VMEM compile budget for ONE whole-tree bank call, in samples:
+#: the revolving per-plane output blocks + the wide band constants overflow
+#: Mosaic's scoped budget beyond this (2^21-sample calls still fail the
+#: remote compiler with HTTP 500; 2^20 = the validated 64x16K point)
+_BANK_CALL_BUDGET = 1 << 20
+
+
+def _bank_rows_per_call(b: int, n: int) -> int:
+    return max(1, min(b, _BANK_CALL_BUDGET // max(n, 1)))
+
+
+def _bank_ana_chunked(flat, dense, periodic, precision, interpret):
+    """:func:`_bank_ana_core` over row chunks of <= ``_BANK_CALL_BUDGET``
+    samples each.  Same-shape chunks reuse one compiled kernel, so large
+    batches stay in the bank tier (a handful of on-device dispatches)
+    instead of falling back to the 30-90x slower per-level cascade."""
+    b, n = flat.shape
+    rows = _bank_rows_per_call(b, n)
+    if rows >= b:
+        return _bank_ana_core(flat, dense, periodic, precision, interpret)
+    acc = None
+    for i in range(0, b, rows):
+        part = _bank_ana_core(
+            flat[i : i + rows], dense, periodic, precision, interpret
+        )
+        acc = [[p] for p in part] if acc is None else [
+            ps + [p] for ps, p in zip(acc, part)
+        ]
+    return tuple(jnp.concatenate(ps, axis=0) for ps in acc)
+
+
+def _bank_syn_chunked(planes, dense, periodic, precision, interpret):
+    """Row-chunked :func:`_bank_syn_core` (see :func:`_bank_ana_chunked`)."""
+    b, n = planes[0].shape
+    rows = _bank_rows_per_call(b, n)
+    if rows >= b:
+        return _bank_syn_core(planes, dense, periodic, precision, interpret)
+    parts = [
+        _bank_syn_core(
+            tuple(p[i : i + rows] for p in planes), dense, periodic,
+            precision, interpret,
+        )
+        for i in range(0, b, rows)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
 
 def _packet_plane_filters(w, levels: int, dec: bool = True):
     """Composed à trous filters for every node of every level (natural
@@ -302,14 +348,12 @@ def _modwpt_tree_kernel(x2, w, levels: int, boundary: str):
     span = max(len(t) for t in all_taps) - 1
     if not _pair_kernel_ok(x2, boundary, span):
         return None
-    # the 2^(J+1)-2 output planes' revolving VMEM blocks + the wide band
-    # constants overflow Mosaic's scoped budget at large B*N (128x64K
-    # failed remote compile) — big shapes take the per-level pair path,
-    # which tiles each call independently
-    if x2.shape[0] * x2.shape[1] > (1 << 21) or levels > 5:
+    # single signals beyond the per-call budget take the per-level pair
+    # path; large BATCHES are row-chunked into eligible bank calls instead
+    if x2.shape[1] > _BANK_CALL_BUDGET or levels > 5:
         return None
     dense = tuple(tuple(t.tolist()) for t in all_taps)
-    outs = _bank_ana_core(
+    outs = _bank_ana_chunked(
         x2, dense, boundary.lower().startswith("per"),
         get_fused_precision(), not pallas_available(),
     )
@@ -335,10 +379,10 @@ def _imodwpt_tree_kernel(leaves2, w, boundary: str):
     span = max(len(t) for t in leaf_taps) - 1
     if not _pair_kernel_ok(leaves2[0], boundary, span):
         return None
-    if leaves2[0].shape[0] * leaves2[0].shape[1] > (1 << 21) or depth > 5:
-        return None  # see _modwpt_tree_kernel: scoped-VMEM guard
+    if leaves2[0].shape[1] > _BANK_CALL_BUDGET or depth > 5:
+        return None  # see _modwpt_tree_kernel: single-signal budget
     dense = tuple(tuple(t.tolist()) for t in leaf_taps)
-    return _bank_syn_core(
+    return _bank_syn_chunked(
         tuple(leaves2), dense, boundary.lower().startswith("per"),
         get_fused_precision(), not pallas_available(),
     )
