@@ -221,6 +221,28 @@ def measure_all() -> dict:
         _, accs = jax.lax.scan(step, state, blocks)
         return accs.transpose(1, 0, 2).reshape(STREAM_B, -1)
 
+    # kernel-tier streaming DENOISER: the fused one-pass kernel per block
+    # (carry as analysis halo, masked right halo, ring-driven thresholds)
+    from vectorwave_tpu.streaming import (
+        kernel_streaming_denoiser_init,
+        streaming_denoise_block_kernel,
+    )
+
+    def stream_denoise_row(x):  # x: [B, nblk*blk]
+        blocks = x.reshape(STREAM_B, STREAM_NBLK, STREAM_BLK).transpose(1, 0, 2)
+        state = kernel_streaming_denoiser_init(
+            "db4", levels=6, batch_shape=(STREAM_B,)
+        )
+
+        def step(st, blk):
+            st, out = streaming_denoise_block_kernel(
+                st, blk, "db4", levels=6
+            )
+            return st, out
+
+        _, outs = jax.lax.scan(step, state, blocks)
+        return outs.transpose(1, 0, 2).reshape(STREAM_B, -1)
+
     # tiled (shard_map) path on a 1-device mesh: guards the distributed
     # tier's shard-local kernel rate (VERDICT r03 item 10 — previously only
     # in SCALING.md prose via tools/probe_tiled_chip.py)
@@ -252,6 +274,9 @@ def measure_all() -> dict:
          fused_roundtrip_row, sig(65536, 128), 100, 128 * 65536),
         ("kernel block streaming 128 streams x 8x8K blocks db4 6-level zero",
          stream_kernel_row, sig(STREAM_NBLK * STREAM_BLK, STREAM_B), 30,
+         STREAM_B * STREAM_NBLK * STREAM_BLK),
+        ("kernel streaming denoise 128 streams x 8x8K blocks db4 6-level",
+         stream_denoise_row, sig(STREAM_NBLK * STREAM_BLK, STREAM_B), 30,
          STREAM_B * STREAM_NBLK * STREAM_BLK),
         ("tiled 1-dev mesh roundtrip 128x64K db4 6-level",
          tiled_roundtrip_row, sig(65536, 128), 100, 128 * 65536),

@@ -1647,3 +1647,66 @@ def run_denoise_composite(
         periodic=periodic,
     )
     return _from_rows(out)
+
+
+def run_denoise_composite_stream(
+    x: jnp.ndarray,  # [B, N] block
+    halo: jnp.ndarray,  # [B, H_raw] raw-x tail of the stream before x
+    thresholds: jnp.ndarray,  # [B, levels]
+    levels: int,
+    filters_dec: tuple,
+    filters_rec: tuple,
+    tile: int,
+    mode: str,
+    precision: str,
+    interpret: bool,
+):
+    """Streaming fused denoise: one analysis->threshold->synthesis pass over
+    a block with the raw-x stream history as the kernel's external LEFT
+    analysis halo and a zero right halo whose plane rows are masked
+    (``zero_tail``), i.e. block-local zero-coefficient extension on the
+    right — bit-matching the jnp streaming denoiser's reconstruction
+    semantics (synthesis reads only forward, so the left edge needs no
+    coefficient extension at all).  Returns None when the block shape
+    cannot be served (caller falls back to the jnp cascade)."""
+    b, n = x.shape
+    tiles = denoise_composite_tiles(
+        b, n, levels, filters_dec, filters_rec, tile, x.dtype.itemsize
+    )
+    if tiles is None:
+        return None
+    span, halo_rows, b_tile, tile_rows = tiles
+    halo_pad = halo_rows * _LANES
+    hist = halo.astype(x.dtype)
+    if hist.shape[-1] < halo_pad:
+        hist = jnp.concatenate(
+            [jnp.zeros((b, halo_pad - hist.shape[-1]), x.dtype), hist],
+            axis=-1,
+        )
+    elif hist.shape[-1] > halo_pad:
+        hist = hist[..., -halo_pad:]
+    x_ext = _to_rows(
+        jnp.concatenate(
+            [hist, x, jnp.zeros((b, halo_pad), x.dtype)], axis=-1
+        )
+    )
+    th_lanes = jnp.broadcast_to(
+        thresholds.astype(jnp.float32)[:, :, None], (b, levels, _LANES)
+    )
+    out = _composite_denoise_call(
+        x_ext,
+        th_lanes,
+        levels=levels,
+        filters_dec=filters_dec,
+        filters_rec=filters_rec,
+        b_tile=b_tile,
+        tile_rows=tile_rows,
+        halo_rows=halo_rows,
+        mode=mode,
+        precision=precision,
+        interpret=interpret,
+        zero_tail=True,
+        inline_halo=False,
+        periodic=False,
+    )
+    return _from_rows(out)

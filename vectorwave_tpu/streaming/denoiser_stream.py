@@ -127,6 +127,182 @@ def _reconstruct_block(coeffs: MultiLevelMODWTResult, w) -> jnp.ndarray:
     return imodwt_multilevel(coeffs, w, boundary="zero")
 
 
+# ---------------------------------------------------------------------------
+# Kernel tier: the whole denoise step (analysis -> threshold -> synthesis)
+# as ONE fused composite-kernel pass per block, with the raw-x stream tail
+# as the kernel's external analysis halo (the same carry-as-halo trick as
+# kernels/modwt_mxu.run_denoise_composite_stream / streaming.stream's
+# modwt_stream_block_kernel).  The reference's fastest kernel IS its
+# streaming kernel (BatchSIMDMODWT.java:447-508 serving
+# MODWTStreamingDenoiser); here the streaming denoiser rides the fused
+# one-pass kernel instead of a per-block jnp cascade.
+# ---------------------------------------------------------------------------
+
+
+class KernelStreamingDenoiserState(NamedTuple):
+    """Carry for :func:`streaming_denoise_block_kernel`: a raw-input tail
+    (the analysis halo) plus the noise ring — no per-level histories."""
+
+    history: jnp.ndarray  # [..., span] raw x before the next block
+    noise_window: jnp.ndarray  # [..., W] ring of sampled |detail| values
+    window_pos: jnp.ndarray  # scalar int32
+    window_fill: jnp.ndarray  # scalar int32
+
+
+def kernel_streaming_denoiser_init(
+    wavelet,
+    *,
+    levels: int = 1,
+    noise_window_size: int = 256,
+    batch_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+) -> KernelStreamingDenoiserState:
+    from .stream import kernel_history_length
+
+    span = kernel_history_length(wavelet, levels)
+    return KernelStreamingDenoiserState(
+        jnp.zeros(batch_shape + (max(span, 1),), dtype=dtype),
+        jnp.zeros(batch_shape + (noise_window_size,), dtype=dtype),
+        jnp.zeros((), dtype=jnp.int32),
+        jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _sampled_d1(history: jnp.ndarray, block: jnp.ndarray, w, take: int):
+    """The stratified level-1 detail samples the noise ring consumes,
+    computed directly from raw x (history + block) with the scaled analysis
+    taps — identical values to ``coeffs.details[0][..., :take*stride:stride]``
+    of the jnp streaming cascade, without materializing the full plane."""
+    hi = [float(v) * _INV_SQRT2 for v in w.dec_hi]
+    length = len(hi)
+    n = block.shape[-1]
+    stride = max(1, n // take)
+    hist_tail = history[..., -(length - 1):] if length > 1 else history[..., :0]
+    x_cat = jnp.concatenate([hist_tail, block], axis=-1)
+    off = x_cat.shape[-1] - n  # position p in the block = x_cat[p + off]
+    acc = None
+    for k, h in enumerate(hi):
+        # d1[p] = sum_k hi[k] * x[p - k]
+        sl = x_cat[..., off - k : off - k + (take - 1) * stride + 1 : stride]
+        term = h * sl
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def streaming_denoise_block_kernel(
+    state: KernelStreamingDenoiserState,
+    block: jnp.ndarray,
+    wavelet,
+    *,
+    levels: int,
+    threshold_mode: str = "soft",
+    noise_estimation: str = "mad",
+    threshold_multiplier: float = 1.0,
+    fixed_sigma: float | None = None,
+    tile: int = 65536,
+    precision: str | None = None,
+    interpret: bool | None = None,
+) -> tuple[KernelStreamingDenoiserState, jnp.ndarray]:
+    """Kernel-tier streaming denoise step (zero boundary): one fused
+    analysis->threshold->synthesis kernel pass per block.
+
+    Semantics match :func:`streaming_denoise_block` with ``boundary='zero'``
+    up to kernel precision: analysis is whole-stream continuous via the
+    raw-x carry, the noise ring sees the same stratified level-1 samples,
+    and reconstruction zero-extends the block's coefficients (the fused
+    kernel's masked right halo; the left needs no extension because
+    synthesis reads only forward).  Blocks whose shape the fused kernel
+    cannot serve fall back to an equivalent jnp cascade on
+    ``[history | block]`` — same state layout, same results.
+    """
+    from ..config import get_fused_precision
+    from ..kernels.modwt_mxu import run_denoise_composite_stream
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    w = _resolve_discrete(wavelet)
+    if interpret is None:
+        interpret = not pallas_available()
+    prec = precision or get_fused_precision()
+    lead = block.shape[:-1]
+    n = block.shape[-1]
+    block2 = block.reshape(-1, n)
+    hist2 = state.history.reshape(-1, state.history.shape[-1])
+
+    take = min(16, n, state.noise_window.shape[-1])
+    d1_sub = _sampled_d1(hist2, block2, w, take).reshape(lead + (take,))
+    window, pos, fill = _update_noise_window(
+        state.noise_window, state.window_pos, state.window_fill, d1_sub
+    )
+    est = noise_estimation.lower()
+    if est == "mad":
+        sigma = jnp.median(window, axis=-1, keepdims=True) / 0.6745
+    elif est == "std":
+        sigma = jnp.std(window, axis=-1, keepdims=True)
+    elif est == "fixed":
+        if fixed_sigma is None:
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                "noise_estimation='fixed' requires fixed_sigma",
+            )
+        sigma = jnp.broadcast_to(
+            jnp.asarray(fixed_sigma, dtype=block.dtype), lead + (1,)
+        )
+    else:
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown noise estimation: {noise_estimation!r}",
+            suggestions=("Use 'mad', 'std' or 'fixed'",),
+        )
+    w_size = state.noise_window.shape[-1]
+    threshold = (
+        sigma * math.sqrt(2.0 * math.log(w_size)) * threshold_multiplier
+    )
+    ths = jnp.concatenate(
+        [
+            (threshold / jnp.sqrt(2.0**level)).reshape(-1, 1)
+            for level in range(1, levels + 1)
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # [B, levels]
+
+    filters_dec = _kernel_filters(w, synthesis=False)
+    filters_rec = _kernel_filters(w, synthesis=True)
+    out2 = run_denoise_composite_stream(
+        block2, hist2, ths, levels, filters_dec, filters_rec, tile,
+        threshold_mode, prec, interpret,
+    )
+    if out2 is None:
+        # jnp fallback with identical state layout: zero-boundary analysis
+        # of [history | block] equals the whole-stream coefficients for the
+        # block (analysis reads backward <= span), then block-local inverse
+        from ..transforms.multilevel import imodwt_multilevel, modwt_multilevel
+
+        span = hist2.shape[-1]
+        res = modwt_multilevel(
+            jnp.concatenate([hist2, block2], axis=-1), w, levels=levels,
+            boundary="zero", backend="jnp",
+        )
+        coeffs = MultiLevelMODWTResult(
+            tuple(d[..., span:] for d in res.details),
+            res.approx[..., span:],
+        )
+        denoised_details = tuple(
+            apply_threshold(d, ths[..., j - 1 : j], threshold_mode)
+            for j, d in enumerate(coeffs.details, start=1)
+        )
+        out2 = imodwt_multilevel(
+            MultiLevelMODWTResult(denoised_details, coeffs.approx), w,
+            boundary="zero", backend="jnp",
+        )
+    span = state.history.shape[-1]
+    new_hist = jnp.concatenate([hist2, block2], axis=-1)[..., -span:]
+    new_state = KernelStreamingDenoiserState(
+        new_hist.reshape(lead + (span,)).astype(state.history.dtype),
+        window, pos, fill,
+    )
+    return new_state, out2.reshape(lead + (n,))
+
+
 class StreamingDenoiser:
     """Convenience wrapper with reference-like ergonomics
     (``MODWTStreamingDenoiser.Builder`` :370-504): holds the state pytree and
@@ -145,6 +321,7 @@ class StreamingDenoiser:
         noise_estimation: str = "mad",
         threshold_multiplier: float = 1.0,
         dtype=jnp.float32,
+        backend: str | None = None,
     ) -> None:
         if levels is None:
             levels = 1 if implementation.lower() == "fast" else 4
@@ -156,24 +333,56 @@ class StreamingDenoiser:
         self.levels = levels
         self._dtype = dtype
         self._window_size = noise_window_size
-        self.state = streaming_denoiser_init(
-            self.wavelet, levels=levels, noise_window_size=noise_window_size, dtype=dtype
-        )
+        # backend: None/'auto' = fused one-pass kernel tier on TPU f32 for
+        # zero boundary (the reference's fastest kernel IS its streaming
+        # kernel); jnp cascade elsewhere.  'pallas'/'jnp' force.
+        if backend in (None, "auto"):
+            from ..kernels.modwt_pallas import pallas_available
+
+            self._use_kernel = (
+                pallas_available()
+                and dtype == jnp.float32
+                and boundary.lower() in ("zero", "zero_padding")
+            )
+        else:
+            self._use_kernel = backend == "pallas"
         self.samples_processed = 0
         self.blocks_processed = 0
 
         import jax
 
-        def _step(state, block):
-            return streaming_denoise_block(
-                state,
-                block,
-                self.wavelet,
-                boundary=self.boundary,
-                threshold_mode=self.threshold_mode,
-                noise_estimation=self.noise_estimation,
-                threshold_multiplier=self.threshold_multiplier,
+        if self._use_kernel:
+            self.state = kernel_streaming_denoiser_init(
+                self.wavelet, levels=levels,
+                noise_window_size=noise_window_size, dtype=dtype,
             )
+
+            def _step(state, block):
+                return streaming_denoise_block_kernel(
+                    state,
+                    block,
+                    self.wavelet,
+                    levels=self.levels,
+                    threshold_mode=self.threshold_mode,
+                    noise_estimation=self.noise_estimation,
+                    threshold_multiplier=self.threshold_multiplier,
+                )
+        else:
+            self.state = streaming_denoiser_init(
+                self.wavelet, levels=levels,
+                noise_window_size=noise_window_size, dtype=dtype,
+            )
+
+            def _step(state, block):
+                return streaming_denoise_block(
+                    state,
+                    block,
+                    self.wavelet,
+                    boundary=self.boundary,
+                    threshold_mode=self.threshold_mode,
+                    noise_estimation=self.noise_estimation,
+                    threshold_multiplier=self.threshold_multiplier,
+                )
 
         # jit the whole per-block update: one fused device step per block
         # (compiled once per distinct block shape)
@@ -188,7 +397,12 @@ class StreamingDenoiser:
         return out
 
     def reset(self) -> None:
-        self.state = streaming_denoiser_init(
+        init = (
+            kernel_streaming_denoiser_init
+            if self._use_kernel
+            else streaming_denoiser_init
+        )
+        self.state = init(
             self.wavelet,
             levels=self.levels,
             noise_window_size=self._window_size,
