@@ -36,6 +36,57 @@ def test_2d_pallas_analysis_matches_xla_path(name, levels, boundary):
 
 
 @pytest.mark.parametrize("boundary", ["periodic", "zero"])
+@pytest.mark.parametrize(
+    "name,levels,hw",
+    [
+        ("db4", 5, 512),   # span 217 -> hb=2 halo blocks
+        ("sym8", 4, 256),  # span 225 -> hb=2 at the minimum wtile=2
+        ("db4", 6, 512),   # span 441 -> hb=4
+    ],
+)
+def test_2d_pallas_deep_span_matches_xla_path(name, levels, hw, boundary):
+    """Spans beyond one 128-block (hb >= 2): the generalized halo windows
+    must still match the XLA banded path level for level."""
+    rng = np.random.default_rng(3)
+    w = _resolve_discrete(name)
+    x = jnp.asarray(rng.standard_normal((1, hw, hw)), jnp.float32)
+    det_p, ll_p = modwt2_multilevel_pallas(
+        x, w, levels, boundary, "float32", interpret=True
+    )
+    det_x, ll_x = k2.modwt2_multilevel_fast(x, w, levels, boundary, "float32")
+    for j in (0, levels - 1):  # shallowest (hb=1 group) + deepest (hb>=2)
+        for got, want, tag in zip(det_p[j], det_x[j], ("lh", "hl", "hh")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=4e-5,
+                err_msg=f"level {j+1} {tag} {boundary}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(ll_p), np.asarray(ll_x), atol=4e-5, err_msg="ll"
+    )
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+def test_2d_pallas_deep_span_roundtrip(boundary):
+    from vectorwave_tpu.kernels.modwt2_pallas import (
+        imodwt2_multilevel_pallas,
+    )
+
+    rng = np.random.default_rng(4)
+    w = _resolve_discrete("db4")
+    x = jnp.asarray(rng.standard_normal((1, 512, 512)), jnp.float32)
+    det, ll = modwt2_multilevel_pallas(
+        x, w, 5, boundary, "float32", interpret=True
+    )
+    xr = imodwt2_multilevel_pallas(det, ll, w, boundary, "float32",
+                                   interpret=True)
+    ref_det, ref_ll = k2.modwt2_multilevel_fast(x, w, 5, boundary, "float32")
+    ref = k2.imodwt2_multilevel_fast(ref_det, ref_ll, w, boundary, "float32")
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(ref), atol=5e-5)
+    if boundary == "periodic":
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=5e-5)
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
 def test_2d_pallas_roundtrip(boundary):
     from vectorwave_tpu.kernels.modwt2_pallas import (
         imodwt2_multilevel_pallas,

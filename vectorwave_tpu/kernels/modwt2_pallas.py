@@ -19,8 +19,10 @@ HBM:
 * Subbands are written in STANDARD [B, H, W] layout directly from VMEM —
   no boundary transposes anywhere.
 
-Halo budget: one 128-row / one 128-lane block per side (composite span
-(L0-1)(2^J - 1) <= 128), i.e. db4 up to J=4, sym8 up to J=3; wider spans
+Halo budget: ``hb = ceil(span/128)`` 128-row / 128-lane blocks per side,
+sized per call from the deepest level it serves (composite span
+(L0-1)(2^J - 1)); the level-group split keeps shallow levels on the
+1-block window.  hb <= 4 covers db4 to J=6 and sym8 to J=5; wider spans
 fall back to the XLA path.  Periodic and zero boundaries.
 
 Reference 2-D analogue: none (the reference is 1-D only); semantics are
@@ -51,8 +53,8 @@ def _shift_rows(flat, shift: int):
 
 def _w_band_mats(taps_list, sign: int) -> dict[int, np.ndarray]:
     """{e: M_e[128, P*128]} lane-axis band matrices for P filters at once
-    (out[p] = sum f[tau] x[p + sign*tau]); e in {-1, 0} (analysis) or
-    {0, 1} (synthesis) under the one-block span guard."""
+    (out[p] = sum f[tau] x[p + sign*tau]); e in {-hb..0} (analysis) or
+    {0..hb} (synthesis) with hb = ceil(span/128) halo blocks."""
     blocks: dict[int, np.ndarray] = {}
     n_p = len(taps_list)
     for pi, taps in enumerate(taps_list):
@@ -105,12 +107,14 @@ def modwt2_pallas_eligible(x, w, levels: int, boundary: str) -> bool:
     if x.dtype not in (jnp.float32,):
         return False
     span = (w.filter_length - 1) * ((1 << levels) - 1)
-    if span > _LANES:
+    hb = max(1, -(-span // _LANES))
+    if hb > 4:  # beyond 4 halo blocks the windows crowd scoped VMEM
         return False
     h, w_ = x.shape[-2], x.shape[-1]
-    return (
-        h % (2 * _LANES) == 0 and w_ % (2 * _LANES) == 0 and levels >= 1
-    )
+    if h % (2 * _LANES) != 0 or w_ % (2 * _LANES) != 0 or levels < 1:
+        return False
+    # per-k DMA guards make any wtile legal; just need hb halo row-blocks
+    return h // _LANES >= hb
 
 
 @functools.partial(
@@ -142,12 +146,16 @@ def _modwt2_analysis_call(
     num_t = h // _LANES
     num_s = wk // wtile
     grid = (b, num_t, num_s)
-    win_rows = 2 * _LANES  # one halo row-block + one output row-block
-    win_blocks = 1 + wtile  # one wrap/halo block + wtile output blocks
     dtype = x4.dtype
 
     j_lo, j_hi = level_range if level_range is not None else (1, levels)
     js = list(range(j_lo - 1, j_hi))  # 0-based level indices served
+    # halo depth in 128-blocks for THIS call's deepest served level: spans
+    # beyond one block ride as extra wrap/halo blocks per side (both axes)
+    span = max(len(ds[j]) - 1 for j in js)
+    hb = max(1, -(-span // _LANES))
+    win_rows = (hb + 1) * _LANES  # hb halo row-blocks + one output row-block
+    win_blocks = hb + wtile  # hb wrap/halo blocks + wtile output blocks
     # constants: per-level W band mats for (D_j, A_j) pairs; H left mats
     w_mats = {}  # per j: {e: [128, 256]}
     h_d_mats = {}  # per j: {E: [128, 128]}
@@ -179,7 +187,10 @@ def _modwt2_analysis_call(
         li = (bi * num_t + t) * num_s + s
 
         def window_dma(bi2, t2, s2, slot, phase):
-            # main region rows [halo:], blocks [1:]
+            # main region: rows [hb*128:], blocks [hb:]; halo row regions
+            # ri in [0, hb) hold rows row0 - (hb-ri)*128; wrap/halo blocks
+            # k in [0, hb) hold blocks s2*wtile - hb + k (wtile >= hb so
+            # every source is in-range whenever s2 != 0)
             row0 = t2 * _LANES
 
             def copy(dst_rows, dst_blocks, src_rows, src_blocks, sem_i):
@@ -190,68 +201,61 @@ def _modwt2_analysis_call(
                 )
                 c.start() if phase == 0 else c.wait()
 
-            # 1) main rows, main blocks
-            copy(pl.ds(_LANES, _LANES), pl.ds(1, wtile),
-                 pl.ds(row0, _LANES), pl.ds(s2 * wtile, wtile), 0)
-            # 2) main rows, left wrap/halo block
-            if periodic:
-                src_b = (s2 * wtile - 1) % wk
+            for ri in range(hb + 1):  # ri == hb: the main row region
+                sem0 = ri * (hb + 1)
+                back = (hb - ri) * _LANES  # 0 for the main region
+                dst_r = pl.ds(ri * _LANES, _LANES)
 
-                def _mwrap():
-                    copy(pl.ds(_LANES, _LANES), pl.ds(0, 1),
-                         pl.ds(row0, _LANES), pl.ds(src_b, 1), 1)
+                def _region(src_r, ri=ri, sem0=sem0, dst_r=dst_r):
+                    copy(dst_r, pl.ds(hb, wtile),
+                         pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile),
+                         sem0)
+                    for k in range(hb):
+                        if periodic:
+                            src_b = (s2 * wtile - hb + k) % wk
+                            copy(dst_r, pl.ds(k, 1),
+                                 pl.ds(src_r, _LANES), pl.ds(src_b, 1),
+                                 sem0 + 1 + k)
+                        else:
+                            # valid iff s2*wtile - hb + k >= 0 (static
+                            # threshold per k, so wtile < hb is fine)
+                            thr = -(-(hb - k) // wtile)
 
-                _mwrap()
-            else:
-                def _mhalo():
-                    copy(pl.ds(_LANES, _LANES), pl.ds(0, 1),
-                         pl.ds(row0, _LANES), pl.ds(s2 * wtile - 1, 1), 1)
+                            def _bh(k=k, src_r=src_r, dst_r=dst_r,
+                                    sem0=sem0):
+                                copy(dst_r, pl.ds(k, 1),
+                                     pl.ds(src_r, _LANES),
+                                     pl.ds(s2 * wtile - hb + k, 1),
+                                     sem0 + 1 + k)
 
-                def _mzero():
+                            pl.when(s2 >= thr)(_bh)
+                            if phase == 0:
+                                def _bzk(k=k, ri=ri):
+                                    scratch[
+                                        slot,
+                                        ri * _LANES : (ri + 1) * _LANES,
+                                        k : k + 1, :,
+                                    ] = jnp.zeros((_LANES, 1, _LANES),
+                                                  dtype)
+
+                                pl.when(s2 < thr)(_bzk)
+
+                def _rzero(ri=ri):
                     if phase == 0:
-                        scratch[slot, _LANES:, 0:1, :] = jnp.zeros(
-                            (_LANES, 1, _LANES), dtype
+                        scratch[slot, ri * _LANES : (ri + 1) * _LANES,
+                                :, :] = jnp.zeros(
+                            (_LANES, win_blocks, _LANES), dtype
                         )
 
-                pl.when(s2 != 0)(_mhalo)
-                pl.when(s2 == 0)(_mzero)
-            # 3) halo rows (above), main blocks (+ wrap block 4)
-            hrow0 = (row0 - _LANES) % h
-
-            def _hmain():
-                src_r = hrow0 if periodic else row0 - _LANES
-                copy(pl.ds(0, _LANES), pl.ds(1, wtile),
-                     pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile), 2)
-                if periodic:
-                    src_b = (s2 * wtile - 1) % wk
-                    copy(pl.ds(0, _LANES), pl.ds(0, 1),
-                         pl.ds(src_r, _LANES), pl.ds(src_b, 1), 3)
+                if ri == hb:
+                    _region(row0)
+                elif periodic:
+                    _region((row0 - back) % h)
                 else:
-                    def _hh():
-                        copy(pl.ds(0, _LANES), pl.ds(0, 1),
-                             pl.ds(row0 - _LANES, _LANES),
-                             pl.ds(s2 * wtile - 1, 1), 3)
-
-                    def _hz():
-                        if phase == 0:
-                            scratch[slot, :_LANES, 0:1, :] = jnp.zeros(
-                                (_LANES, 1, _LANES), dtype
-                            )
-
-                    pl.when(s2 != 0)(_hh)
-                    pl.when(s2 == 0)(_hz)
-
-            def _hzero_all():
-                if phase == 0:
-                    scratch[slot, :_LANES, :, :] = jnp.zeros(
-                        (_LANES, win_blocks, _LANES), dtype
+                    pl.when(t2 >= hb - ri)(
+                        functools.partial(_region, row0 - back)
                     )
-
-            if periodic:
-                _hmain()
-            else:
-                pl.when(t2 != 0)(_hmain)
-                pl.when(t2 == 0)(_hzero_all)
+                    pl.when(t2 < hb - ri)(_rzero)
 
         @pl.when(li == 0)
         def _prologue():
@@ -270,33 +274,42 @@ def _modwt2_analysis_call(
                 window_dma(b1, t1, s1, li1 % 2, phase=0)
 
         win = scratch[li % 2]  # [win_rows, win_blocks, 128]
-        flat = win.reshape(win_rows * win_blocks, _LANES)
         oi = 0
         for j in js:
-            # W pass: both filters of level j at once -> [.., 256]
-            acc = None
-            for e in sorted(w_mats[j].keys()):
-                view = _shift_rows(flat, -e)  # e in {-1, 0}
-                term = _dot(view, c_refs[const_index[("w", j, e)]][:],
-                            precision)
-                acc = term if acc is None else acc + term
-            dw = acc[:, :_LANES].reshape(win_rows, win_blocks, _LANES)
-            aw = acc[:, _LANES:].reshape(win_rows, win_blocks, _LANES)
+            # W pass, PER 128-row region: the flattened-axis shift is
+            # row-local (cross-row leakage lands only in the discarded
+            # halo blocks), and per-region views keep the rolled copies at
+            # [128*win_blocks, 128] instead of window-sized — a whole-
+            # window pass held #e window copies live and blew Mosaic's
+            # 16 MB scoped budget at hb=4 (26 MB)
+            dwr, awr = [], []
+            for ri in range(hb + 1):
+                flat_r = win[
+                    ri * _LANES : (ri + 1) * _LANES
+                ].reshape(_LANES * win_blocks, _LANES)
+                acc = None
+                for e in sorted(w_mats[j].keys()):
+                    view = _shift_rows(flat_r, -e)  # e in {-hb..0}
+                    term = _dot(view, c_refs[const_index[("w", j, e)]][:],
+                                precision)
+                    acc = term if acc is None else acc + term
+                dwr.append(acc[:, :_LANES])
+                awr.append(acc[:, _LANES:])
 
-            def h_apply(field, tag):
-                # LEFT dots: out rows = last row-block (index 1); E in
-                # {-1, 0}: out = L_0 @ block1 + L_{-1} @ block0
+            def h_apply(regions, tag):
+                # LEFT dots: out rows = last row-block (region hb); E in
+                # {-hb..0}: out = sum_E L_E @ region[hb + E]
                 mats = h_d_mats[j] if tag == "hd" else h_a_mats[j]
                 out = None
                 for e in sorted(mats.keys()):
-                    blk = field[(1 + e) * _LANES : (2 + e) * _LANES].reshape(
+                    blk = regions[hb + e].reshape(
                         _LANES, win_blocks * _LANES
                     )
                     term = _dot_left(
                         c_refs[const_index[(tag, j, e)]][:], blk, precision
                     )
                     out = term if out is None else out + term
-                return out.reshape(_LANES, win_blocks, _LANES)[:, 1:, :]
+                return out.reshape(_LANES, win_blocks, _LANES)[:, hb:, :]
 
             def _flat_out(v):
                 # 3-D output blocks: Mosaic requires the last two block
@@ -304,15 +317,15 @@ def _modwt2_analysis_call(
                 # outputs are [B, H, W] with block (1, 128, wtile*128)
                 return v.astype(dtype).reshape(_LANES, wtile * _LANES)[None]
 
-            lh = h_apply(dw, "ha")
-            hh = h_apply(dw, "hd")
-            hl = h_apply(aw, "hd")
+            lh = h_apply(dwr, "ha")
+            hh = h_apply(dwr, "hd")
+            hl = h_apply(awr, "hd")
             out_refs[oi][:] = _flat_out(lh)
             out_refs[oi + 1][:] = _flat_out(hl)
             out_refs[oi + 2][:] = _flat_out(hh)
             oi += 3
             if with_ll and j == levels - 1:
-                ll = h_apply(aw, "ha")
+                ll = h_apply(awr, "ha")
                 out_refs[oi][:] = _flat_out(ll)
 
     out_shape = [
@@ -335,7 +348,7 @@ def _modwt2_analysis_call(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, win_rows, win_blocks, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, (hb + 1) * (hb + 1))),
         ],
         interpret=interpret,
     )(x4, *consts)
@@ -401,8 +414,14 @@ def _modwt2_synthesis_call(
     num_t = h // _LANES
     num_s = wk // wtile
     grid = (b, num_t, num_s)
-    win_rows = 2 * _LANES  # main + below halo
-    win_blocks = wtile + 1  # main + right halo
+    # forward reads: halo blocks to the RIGHT / BELOW, deep enough for the
+    # widest plane's span (hb = ceil(span/128), mirroring the analysis call)
+    span = max(
+        max(len(wt) for wt, _ in pairs), max(len(ht) for _, ht in pairs)
+    ) - 1
+    hb = max(1, -(-span // _LANES))
+    win_rows = (hb + 1) * _LANES  # main + hb below-halo row-blocks
+    win_blocks = wtile + hb  # main + hb right wrap/halo blocks
     dtype = planes[0].dtype
 
     consts = []
@@ -438,64 +457,64 @@ def _modwt2_synthesis_call(
                 )
                 c.start() if phase == 0 else c.wait()
 
-            # 1) main rows, main blocks
-            copy(pl.ds(0, _LANES), pl.ds(0, wtile),
-                 pl.ds(row0, _LANES), pl.ds(s2 * wtile, wtile), 0)
-            # 2) main rows, right halo/wrap block
-            if periodic:
-                src_b = (s2 * wtile + wtile) % wk
-                copy(pl.ds(0, _LANES), pl.ds(wtile, 1),
-                     pl.ds(row0, _LANES), pl.ds(src_b, 1), 1)
-            else:
-                def _mhalo():
-                    copy(pl.ds(0, _LANES), pl.ds(wtile, 1),
-                         pl.ds(row0, _LANES), pl.ds(s2 * wtile + wtile, 1), 1)
+            # row regions ri in [0, hb]: ri == 0 is the main region (rows
+            # row0), ri >= 1 holds rows row0 + ri*128; wrap/halo blocks
+            # k in [0, hb) hold blocks s2*wtile + wtile + k (wtile >= hb so
+            # every source is in-range whenever s2 != num_s - 1)
+            for ri in range(hb + 1):
+                sem0 = ri * (hb + 1)
+                dst_r = pl.ds(ri * _LANES, _LANES)
 
-                def _mzero():
+                def _region(src_r, ri=ri, sem0=sem0, dst_r=dst_r):
+                    copy(dst_r, pl.ds(0, wtile),
+                         pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile),
+                         sem0)
+                    for k in range(hb):
+                        if periodic:
+                            src_b = (s2 * wtile + wtile + k) % wk
+                            copy(dst_r, pl.ds(wtile + k, 1),
+                                 pl.ds(src_r, _LANES), pl.ds(src_b, 1),
+                                 sem0 + 1 + k)
+                        else:
+                            # valid iff s2*wtile + wtile + k <= wk - 1
+                            # (static threshold per k; wtile < hb is fine)
+                            thr = (wk - 1 - wtile - k) // wtile
+
+                            def _bh(k=k, src_r=src_r, dst_r=dst_r,
+                                    sem0=sem0):
+                                copy(dst_r, pl.ds(wtile + k, 1),
+                                     pl.ds(src_r, _LANES),
+                                     pl.ds(s2 * wtile + wtile + k, 1),
+                                     sem0 + 1 + k)
+
+                            pl.when(s2 <= thr)(_bh)
+                            if phase == 0:
+                                def _bzk(k=k, ri=ri):
+                                    scratch[
+                                        slot,
+                                        ri * _LANES : (ri + 1) * _LANES,
+                                        wtile + k : wtile + k + 1, :,
+                                    ] = jnp.zeros((_LANES, 1, _LANES),
+                                                  dtype)
+
+                                pl.when(s2 > thr)(_bzk)
+
+                def _rzero(ri=ri):
                     if phase == 0:
-                        scratch[slot, :_LANES, wtile:, :] = jnp.zeros(
-                            (_LANES, 1, _LANES), dtype
+                        scratch[slot, ri * _LANES : (ri + 1) * _LANES,
+                                :, :] = jnp.zeros(
+                            (_LANES, win_blocks, _LANES), dtype
                         )
 
-                pl.when(s2 != num_s - 1)(_mhalo)
-                pl.when(s2 == num_s - 1)(_mzero)
-            # 3) below halo rows
-            brow0 = (row0 + _LANES) % h
-
-            def _bmain():
-                src_r = brow0 if periodic else row0 + _LANES
-                copy(pl.ds(_LANES, _LANES), pl.ds(0, wtile),
-                     pl.ds(src_r, _LANES), pl.ds(s2 * wtile, wtile), 2)
-                if periodic:
-                    src_b = (s2 * wtile + wtile) % wk
-                    copy(pl.ds(_LANES, _LANES), pl.ds(wtile, 1),
-                         pl.ds(src_r, _LANES), pl.ds(src_b, 1), 3)
+                if ri == 0:
+                    _region(row0)
+                elif periodic:
+                    _region((row0 + ri * _LANES) % h)
                 else:
-                    def _bh():
-                        copy(pl.ds(_LANES, _LANES), pl.ds(wtile, 1),
-                             pl.ds(row0 + _LANES, _LANES),
-                             pl.ds(s2 * wtile + wtile, 1), 3)
-
-                    def _bz():
-                        if phase == 0:
-                            scratch[slot, _LANES:, wtile:, :] = jnp.zeros(
-                                (_LANES, 1, _LANES), dtype
-                            )
-
-                    pl.when(s2 != num_s - 1)(_bh)
-                    pl.when(s2 == num_s - 1)(_bz)
-
-            def _bzero_all():
-                if phase == 0:
-                    scratch[slot, _LANES:, :, :] = jnp.zeros(
-                        (_LANES, win_blocks, _LANES), dtype
+                    pl.when(t2 < num_t - ri)(
+                        functools.partial(_region, row0 + ri * _LANES)
                     )
-
-            if periodic:
-                _bmain()
-            else:
-                pl.when(t2 != num_t - 1)(_bmain)
-                pl.when(t2 == num_t - 1)(_bzero_all)
+                    pl.when(t2 >= num_t - ri)(_rzero)
 
         def seq_dma(pi, li2, slot, phase):
             """Plane ``pi`` (STATIC python int) of grid step ``li2``."""
@@ -563,7 +582,7 @@ def _modwt2_synthesis_call(
         out_shape=jax.ShapeDtypeStruct((b, h, wk * _LANES), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, win_rows, win_blocks, _LANES), dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, (hb + 1) * (hb + 1))),
         ],
         interpret=interpret,
     )(*planes, *consts)
@@ -590,8 +609,15 @@ def imodwt2_multilevel_pallas(details, approx, w, boundary: str,
     )
     wk = w_ // _LANES
     # synthesis holds ONE plane window + a single output block, so a wide
-    # tile fits: fewer grid steps amortize the per-plane DMA sequencing
-    wtile = 8 if wk % 8 == 0 else (4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
+    # tile fits: fewer grid steps amortize the per-plane DMA sequencing.
+    # Deep spans (hb > 1) shrink the tile to keep the window in budget.
+    span = (w.filter_length - 1) * ((1 << levels) - 1)
+    hb = max(1, -(-span // _LANES))
+    if hb == 1:
+        wtile = 8 if wk % 8 == 0 else (
+            4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
+    else:
+        wtile = 4 if wk % 4 == 0 else 2
     out = _modwt2_synthesis_call(
         p4,
         levels=levels,
@@ -616,23 +642,36 @@ def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
     )
     x4 = x.reshape((-1, h, w_ // _LANES, _LANES))
     wk = w_ // _LANES
-    # wtile=8 overflows scoped VMEM even with split level groups
-    wtile = 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
     periodic = boundary.lower().startswith("per")
-    # split deep level sets across calls: one 13-output wtile=4 call
-    # overflowed Mosaic's 16 MB scoped VMEM (18.4 MB)
-    if levels <= 2:
-        ranges = [(1, levels)]
-    else:
-        mid = (levels + 1) // 2
-        ranges = [(1, mid), (mid + 1, levels)]
+    # split level sets across calls: one 13-output wtile=4 call overflowed
+    # Mosaic's 16 MB scoped VMEM (18.4 MB), and each call sizes its window
+    # by its OWN deepest span (hb halo blocks) — grouping levels with equal
+    # hb keeps shallow levels on the 1-block window
+    spans = [
+        (w.filter_length - 1) * ((1 << j) - 1) for j in range(1, levels + 1)
+    ]
+    hbs = [max(1, -(-s // _LANES)) for s in spans]
+    ranges = []
+    start = 1
+    for j in range(2, levels + 2):
+        if j > levels or hbs[j - 1] != hbs[start - 1] or j - start >= 3:
+            ranges.append((start, j - 1))
+            start = j
     outs = []
     for rng_ in ranges:
+        # per-call tile: wtile=4 normally (8 overflows scoped VMEM even
+        # with split level groups); deep-halo calls (hb >= 3) shrink to 2
+        # (a 1-level hb=4 wtile=4 call compiled to 21.2 MB scoped > 16)
+        hb_call = hbs[rng_[1] - 1]
+        cap = 4 if hb_call <= 2 else 2
+        wtile_call = min(
+            cap, 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
+        )
         outs.extend(_modwt2_analysis_call(
             x4,
             levels=levels,
             filters=filters,
-            wtile=wtile,
+            wtile=wtile_call,
             periodic=periodic,
             precision=precision,
             interpret=interpret,
