@@ -8,6 +8,7 @@ from .tiled import (
     tiled_roundtrip_check,
 )
 from .cwt_tiled import cwt_tiled, cwt_tiled_2d
+from .tiled2d import imodwt2_multilevel_tiled, modwt2_multilevel_tiled
 from .multihost import (
     CommunicationReport,
     communication_report,
@@ -25,6 +26,8 @@ __all__ = [
     "modwt_multilevel_sharded_batch",
     "modwt_multilevel_tiled",
     "imodwt_multilevel_tiled",
+    "modwt2_multilevel_tiled",
+    "imodwt2_multilevel_tiled",
     "modwt_multilevel_tiled_exact",
     "imodwt_multilevel_tiled_exact",
     "tiled_roundtrip_check",
