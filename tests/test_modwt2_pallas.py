@@ -107,6 +107,39 @@ def test_2d_pallas_roundtrip(boundary):
         np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
 
 
+@pytest.mark.parametrize("name,levels", [("db4", 3), ("sym8", 2)])
+def test_2d_symmetric_analysis_fast_path(name, levels):
+    """Symmetric analysis through per-level zero-boundary kernel calls
+    (reflect-pad + crop) must match the jnp symmetric cascade exactly."""
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.transforms.twodim import _modwt2_symmetric_fast
+
+    rng = np.random.default_rng(5)
+    w = _resolve_discrete(name)
+    x = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    vw.set_backend("pallas")
+    vw.set_fused_precision("float32")
+    try:
+        got = _modwt2_symmetric_fast(x, w, levels)
+        assert got is not None, "unexpectedly ineligible"
+        vw.set_backend("jnp")
+        want = vw.modwt2_multilevel(x, name, levels=levels,
+                                    boundary="symmetric")
+    finally:
+        vw.set_backend("auto")
+        vw.set_fused_precision("bf16_3x")
+    for j in range(levels):
+        for g, r, tag in zip(got.details[j], want.details[j],
+                             ("lh", "hl", "hh")):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=3e-5,
+                err_msg=f"level {j+1} {tag}",
+            )
+    np.testing.assert_allclose(
+        np.asarray(got.approx), np.asarray(want.approx), atol=3e-5
+    )
+
+
 def test_public_routing_forced_pallas_matches_jnp():
     import vectorwave_tpu as vw
 

@@ -114,6 +114,92 @@ def _analysis2_level(x, low, high, spacing, boundary):
     return MODWT2Result(ll=ll, lh=lh, hl=hl, hh=hh)
 
 
+def _modwt2_symmetric_fast(x, w, levels):
+    """Symmetric-boundary 2-D analysis through the ZERO-boundary Pallas
+    kernel, one call per level.
+
+    Half-point symmetric extension is periodic over ``[x, flip(x)]``
+    (ops/convolve.py module docstring) and is re-applied to the CURRENT
+    level input at every stage, so one global pad cannot serve the whole
+    cascade (verified: only level 1 matches).  Instead each level
+    reflect-pads the current approximation TOP/LEFT by its own à trous
+    span (analysis reads only backward — the zero region beyond the pad
+    is never read by kept outputs), runs ONE single-level kernel call
+    with the zero-stuffed level-j filters, and crops.  Returns None when
+    ineligible (caller falls back to the jnp cascade)."""
+    import numpy as np
+
+    import jax
+
+    from ..config import get_fused_precision
+    from ..kernels.modwt2_pallas import (
+        _modwt2_analysis_call,
+        modwt2_pallas_eligible,
+    )
+    from ..kernels.modwt_pallas import pallas_available
+
+    h, w_ = x.shape[-2], x.shape[-1]
+    lead = x.shape[:-2]
+    inv = 1.0 / math.sqrt(2.0)
+
+    def up(f, s):
+        arr = np.zeros(s * (len(f) - 1) + 1, dtype=np.float64)
+        arr[::s] = np.asarray(f, np.float64)
+        return arr
+
+    # precheck every level before any compute
+    pads = []
+    for level in range(1, levels + 1):
+        spacing = 1 << (level - 1)
+        span = (w.filter_length - 1) * spacing
+        pad_h = span + (-(h + span)) % 256
+        pad_w = span + (-(w_ + span)) % 256
+        if pad_h > h or pad_w > w_:  # jnp.pad symmetric cannot exceed dim
+            return None
+        probe = jax.ShapeDtypeStruct(
+            lead + (h + pad_h, w_ + pad_w), x.dtype
+        )
+        if not modwt2_pallas_eligible(probe, w, 1, "zero"):
+            return None
+        # the single-level call's own span/halo check uses the STUFFED
+        # filter length, which modwt2_pallas_eligible (levels=1) does not
+        # see — mirror the kernel's hb <= 4 guard here
+        if -(-span // 128) > 4:
+            return None
+        pads.append((spacing, pad_h, pad_w))
+
+    prec = get_fused_precision()
+    interp = not pallas_available()
+    cur = x.reshape((-1,) + x.shape[-2:])
+    details = []
+    for (spacing, pad_h, pad_w) in pads:
+        filters = (
+            tuple((up(w.dec_lo, spacing) * inv).tolist()),
+            tuple((up(w.dec_hi, spacing) * inv).tolist()),
+        )
+        curp = jnp.pad(
+            cur, [(0, 0), (pad_h, 0), (pad_w, 0)], mode="symmetric"
+        )
+        x4 = curp.reshape(curp.shape[0], curp.shape[1], -1, 128)
+        wk = x4.shape[2]
+        wtile = 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
+        lh, hl, hh, ll = _modwt2_analysis_call(
+            x4, levels=1, filters=filters, wtile=wtile, periodic=False,
+            precision=prec, interpret=interp,
+        )
+
+        def crop(v, pad_h=pad_h, pad_w=pad_w):
+            return v[..., pad_h:, pad_w:]
+
+        details.append(tuple(
+            crop(p).reshape(lead + (h, w_)) for p in (lh, hl, hh)
+        ))
+        cur = crop(ll)
+    return MultiLevelMODWT2Result(
+        tuple(details), cur.reshape(lead + (h, w_))
+    )
+
+
 def modwt2_multilevel(
     x: jnp.ndarray,
     wavelet,
@@ -147,6 +233,10 @@ def modwt2_multilevel(
             interpret=not pallas_available(),
         )
         return MultiLevelMODWT2Result(details, ll)
+    if boundary.lower().startswith("sym"):
+        fast = _modwt2_symmetric_fast(x, w, levels)
+        if fast is not None:
+            return fast
     if _fast2_eligible(x, levels, boundary):
         from ..config import get_fused_precision
         from ..kernels.modwt2_mxu import modwt2_multilevel_fast
