@@ -140,6 +140,36 @@ def test_2d_symmetric_analysis_fast_path(name, levels):
     )
 
 
+@pytest.mark.parametrize("name,levels", [("db4", 3), ("sym8", 2)])
+def test_2d_symmetric_inverse_fast_path(name, levels):
+    """Symmetric inverse via per-level 4-plane synthesis kernel calls with
+    alignment offsets folded into dense taps must match the jnp inverse."""
+    import vectorwave_tpu as vw
+    from vectorwave_tpu.transforms.twodim import _imodwt2_symmetric_fast
+
+    rng = np.random.default_rng(6)
+    w = _resolve_discrete(name)
+    x = jnp.asarray(rng.standard_normal((2, 256, 256)), jnp.float32)
+    vw.set_backend("jnp")
+    try:
+        res = vw.modwt2_multilevel(x, name, levels=levels,
+                                   boundary="symmetric")
+        want = vw.imodwt2_multilevel(res, name, boundary="symmetric")
+        vw.set_backend("pallas")
+        vw.set_fused_precision("float32")
+        got = _imodwt2_symmetric_fast(res, w)
+        assert got is not None, "unexpectedly ineligible"
+        # routed end to end as well
+        routed = vw.imodwt2_multilevel(res, name, boundary="symmetric")
+    finally:
+        vw.set_backend("auto")
+        vw.set_fused_precision("bf16_3x")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(routed), np.asarray(want), atol=3e-5
+    )
+
+
 def test_public_routing_forced_pallas_matches_jnp():
     import vectorwave_tpu as vw
 

@@ -85,8 +85,25 @@ def main() -> None:
         res = vw.modwt2_multilevel(z, "db4", levels=4)
         return vw.imodwt2_multilevel(res, "db4")
 
-    t = _measure(m2rt, x2b, iters=3)
+    t = _measure(m2rt, x2b, iters=10)
     out["modwt2_roundtrip_8x2048_ms"] = round(t, 3)
+
+    # 2c. deep-span + full-pipeline rows on the same images: db4 J=6
+    # roundtrip (hb=4 halo windows) and denoise2 (sigma + per-subband
+    # thresholds + synthesis, all through the 2-D Pallas kernels)
+    def m2rt6(z):
+        res = vw.modwt2_multilevel(z, "db4", levels=6)
+        return vw.imodwt2_multilevel(res, "db4")
+
+    t = _measure(m2rt6, x2b, iters=5)
+    out["modwt2_roundtrip_J6_8x2048_ms"] = round(t, 3)
+
+    def dn2(z):
+        return vw.denoise2(z, "db4", levels=4, method="universal",
+                           mode="soft")
+
+    t = _measure(dn2, x2b, iters=10)
+    out["denoise2_8x2048_ms"] = round(t, 3)
 
     # 3. cwt2 bank, 256 x 256, 8 scales x 8 angles (complex stays on device)
     x3 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
@@ -199,6 +216,12 @@ def main() -> None:
             {"name": "2-D MODWT roundtrip 8x2048x2048 db4 J=4",
              "ms": out["modwt2_roundtrip_8x2048_ms"],
              "note": "true 2-D Pallas kernel (both passes in VMEM)"},
+            {"name": "2-D MODWT roundtrip 8x2048x2048 db4 J=6",
+             "ms": out["modwt2_roundtrip_J6_8x2048_ms"],
+             "note": "deep-span windows (hb=4 halo blocks per side)"},
+            {"name": "denoise2 8x2048x2048 db4 J=4 universal-soft",
+             "ms": out["denoise2_8x2048_ms"],
+             "note": "full pipeline through the 2-D Pallas kernels"},
             {"name": "cwt2 bank 256x256, 8 scales x 8 angles",
              "ms": out["cwt2_8x8_256x256_ms"], "note": "complex stays on device"},
             {"name": "scattering1d order-2, 8x16384, J=6 Q=8",

@@ -382,7 +382,7 @@ def _dot_left(l_const, x, precision: str):
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "filters", "wtile", "periodic", "precision",
-                     "interpret"),
+                     "interpret", "pairs_override"),
 )
 def _modwt2_synthesis_call(
     planes: tuple,  # 3*levels+1 arrays [B, H, Wk, 128]
@@ -393,23 +393,33 @@ def _modwt2_synthesis_call(
     periodic: bool,
     precision: str,
     interpret: bool,
+    pairs_override: tuple | None = None,  # ((w_taps, h_taps), ...) dense
+    # per-plane separable taps — bypasses the composed multi-level pyramid
+    # (the symmetric per-level inverse folds its alignment offsets here)
 ):
     """Forward-read synthesis: each plane's separable (H~, W~) contribution
     accumulated in VMEM, one plane window DMA'd at a time (prefetched)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    low = np.asarray(filters[0], np.float64)
-    high = np.asarray(filters[1], np.float64)
-    ds, as_ = composite_planes_split(low, high, levels)
-    n_planes = 3 * levels + 1
-    # per-plane (W~ taps, H~ taps): [lh, hl, hh] per j + ll
-    pairs = []
-    for j in range(levels):
-        pairs.append((ds[j], as_[j]))  # lh: D~ along W, A~ along H
-        pairs.append((as_[j], ds[j]))  # hl
-        pairs.append((ds[j], ds[j]))  # hh
-    pairs.append((as_[levels - 1], as_[levels - 1]))  # ll
+    if pairs_override is not None:
+        pairs = [
+            (np.asarray(wt, np.float64), np.asarray(ht, np.float64))
+            for wt, ht in pairs_override
+        ]
+        n_planes = len(pairs)
+    else:
+        low = np.asarray(filters[0], np.float64)
+        high = np.asarray(filters[1], np.float64)
+        ds, as_ = composite_planes_split(low, high, levels)
+        n_planes = 3 * levels + 1
+        # per-plane (W~ taps, H~ taps): [lh, hl, hh] per j + ll
+        pairs = []
+        for j in range(levels):
+            pairs.append((ds[j], as_[j]))  # lh: D~ along W, A~ along H
+            pairs.append((as_[j], ds[j]))  # hl
+            pairs.append((ds[j], ds[j]))  # hh
+        pairs.append((as_[levels - 1], as_[levels - 1]))  # ll
     b, h, wk, _ = planes[0].shape
     num_t = h // _LANES
     num_s = wk // wtile

@@ -296,6 +296,113 @@ def _inv_axis(a, d, low, high, spacing, boundary_l, w, level):
     return rec_a + rec_d
 
 
+def _imodwt2_symmetric_fast(result, w):
+    """Symmetric-boundary 2-D inverse through the Pallas synthesis kernel,
+    one 4-plane call per level.
+
+    Each level's separable inverse expands to
+    ``W~low (x) H~low * cur + W~low (x) H~high * hl + W~high (x) H~low * lh
+    + W~high (x) H~high * hh`` — exactly the synthesis kernel's per-plane
+    (w_taps, h_taps) form (``pairs_override``).  The symmetric alignment's
+    per-level sign/offset (:func:`_inv_axis`) folds into DENSE tap arrays:
+    a read at ``t + sign*spacing*l + offset`` is a forward read at
+    ``t + m`` with ``m = sign*(spacing*l - tau)``; shifting all taps by the
+    global minimum ``M`` and cropping the output at ``pad_left + M`` makes
+    every read forward.  Planes are reflect-padded (half-point symmetric =
+    the 2N-periodic extension both ways) so the zero-boundary kernel never
+    reads its zero region.  Returns None when ineligible."""
+    import numpy as np
+
+    from ..config import get_backend, get_fused_precision
+    from ..kernels.modwt2_pallas import _modwt2_synthesis_call
+    from ..kernels.modwt_pallas import pallas_available
+
+    if get_backend() == "jnp":
+        return None
+    if get_backend() == "auto" and not pallas_available():
+        return None
+    approx = result.approx
+    if approx.dtype != jnp.float32:
+        return None
+    levels = result.levels
+    h, w_ = approx.shape[-2], approx.shape[-1]
+    lead = approx.shape[:-2]
+    low = np.asarray(w.rec_lo, np.float64) * _INV_SQRT2
+    high = np.asarray(w.rec_hi, np.float64) * _INV_SQRT2
+
+    def spec(filt, plus, tau, spacing):
+        """{m: coeff} with m = sign*(spacing*l - tau)."""
+        out = {}
+        for l, v in enumerate(filt):
+            m = (spacing * l - tau) if plus else (tau - spacing * l)
+            out[m] = out.get(m, 0.0) + float(v)
+        return out
+
+    plans = []
+    for level in range(levels, 0, -1):
+        spacing = 1 << (level - 1)
+        dec = _symmetric_alignment(w, level)
+        tau_h = _tau_j(w.rec_lo.shape[0], level) + dec.delta_approx
+        tau_g = _tau_j(w.rec_hi.shape[0], level) + dec.delta_detail
+        a_spec = spec(low, dec.approx_plus, tau_h, spacing)
+        d_spec = spec(high, dec.detail_plus, tau_g, spacing)
+        m_min = min(min(a_spec), min(d_spec))
+        m_max = max(max(a_spec), max(d_spec))
+        span = m_max - m_min
+        if span > 4 * 128:
+            return None
+
+        def dense(sp, m_min=m_min, m_max=m_max):
+            arr = np.zeros(m_max - m_min + 1, np.float64)
+            for m, v in sp.items():
+                arr[m - m_min] = v
+            return tuple(arr.tolist())
+
+        a_t, d_t = dense(a_spec), dense(d_spec)
+        pairs = ((a_t, a_t), (a_t, d_t), (d_t, a_t), (d_t, d_t))
+
+        def pads(n):
+            pl_ = max(0, -m_min)
+            pr = max(0, m_max)
+            pr += (-(n + pl_ + pr)) % 256
+            return pl_, pr
+
+        pl_h, pr_h = pads(h)
+        pl_w, pr_w = pads(w_)
+        if max(pl_h, pr_h) > h or max(pl_w, pr_w) > w_:
+            return None  # jnp.pad symmetric cannot exceed the dim
+        plans.append((level, pairs, m_min, pl_h, pr_h, pl_w, pr_w))
+
+    prec = get_fused_precision()
+    interp = not pallas_available()
+    cur = approx.reshape((-1,) + approx.shape[-2:])
+    for (level, pairs, m_min, pl_h, pr_h, pl_w, pr_w) in plans:
+        lh, hl, hh = (
+            p.reshape((-1,) + p.shape[-2:])
+            for p in result.details[level - 1]
+        )
+        padded = []
+        for p in (cur, hl, lh, hh):
+            padded.append(jnp.pad(
+                p, [(0, 0), (pl_h, pr_h), (pl_w, pr_w)], mode="symmetric"
+            ))
+        p4 = tuple(
+            p.reshape(p.shape[0], p.shape[1], -1, 128) for p in padded
+        )
+        wk = p4[0].shape[2]
+        hb = max(1, -(-(len(pairs[0][0]) - 1) // 128))
+        wtile = (8 if hb == 1 and wk % 8 == 0 else
+                 (4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)))
+        out = _modwt2_synthesis_call(
+            p4, levels=1, filters=((1.0,), (1.0,)), wtile=wtile,
+            periodic=False, precision=prec, interpret=interp,
+            pairs_override=pairs,
+        )
+        r0, c0 = pl_h + m_min, pl_w + m_min
+        cur = out[..., r0 : r0 + h, c0 : c0 + w_]
+    return cur.reshape(lead + (h, w_))
+
+
 def imodwt2_multilevel(
     result: MultiLevelMODWT2Result,
     wavelet,
@@ -305,6 +412,10 @@ def imodwt2_multilevel(
     w = _resolve_discrete(wavelet)
     from ..kernels.modwt2_pallas import modwt2_pallas_eligible
 
+    if boundary.lower().startswith("sym"):
+        fast = _imodwt2_symmetric_fast(result, w)
+        if fast is not None:
+            return fast
     if modwt2_pallas_eligible(result.approx, w, result.levels, boundary):
         from ..config import get_fused_precision
         from ..kernels.modwt2_pallas import imodwt2_multilevel_pallas
