@@ -77,6 +77,28 @@ def test_tiled2d_deep_halo_spans_multiple_shards():
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
 
 
+def test_tiled2d_periodic_multiwrap_span():
+    """Cumulative span >= global H under periodic boundary needs the
+    extension to wrap MORE than once — served by the exact gather path
+    (the zero-filled slab silently diverged before the r4 review fix)."""
+    mesh = _mesh()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    # db4 J=4: span = 7*15 = 105 > H = 64
+    res = modwt2_multilevel_tiled(
+        x, "db4", levels=4, mesh=mesh, boundary="periodic"
+    )
+    want = vw.modwt2_multilevel(x, "db4", levels=4, boundary="periodic")
+    for j in range(4):
+        for g, r in zip(res.details[j], want.details[j]):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), atol=2e-5,
+                err_msg=f"level {j+1}",
+            )
+    xr = imodwt2_multilevel_tiled(res, "db4", mesh=mesh, boundary="periodic")
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
+
+
 def test_tiled2d_batch_axis():
     mesh_devs = jax.devices()
     if len(mesh_devs) < 8:

@@ -78,7 +78,7 @@ def _h_pair_zero(x, low, high, spacing):
     return jnp.swapaxes(a, -1, -2), jnp.swapaxes(d, -1, -2)
 
 
-def _validate(x_h, n_rows, size, name):
+def _validate(x_h, size, name):
     if x_h % size != 0:
         raise InvalidArgumentError(
             ErrorCode.DIST_TILE_TOO_SMALL,
@@ -110,7 +110,7 @@ def modwt2_multilevel_tiled(
     boundary_l = boundary.lower()
     size = mesh.shape[axis]
     h = x.shape[-2]
-    _validate(h, x.shape[-1], size, "modwt2_multilevel_tiled")
+    _validate(h, size, "modwt2_multilevel_tiled")
     _check_level_fits(w, levels, min(h, x.shape[-1]))
     low = w.dec_lo * _INV_SQRT2
     high = w.dec_hi * _INV_SQRT2
@@ -120,7 +120,10 @@ def modwt2_multilevel_tiled(
     from_left, _ = _ring_perms(axis, mesh, wrap)
     w_boundary = "periodic" if wrap else "zero"
 
-    if boundary_l.startswith("sym"):
+    # symmetric mirrors span shards; periodic with span >= H would need the
+    # extension to wrap MORE than once, which the zero-filled slab cannot
+    # express — both take the exact gather path
+    if boundary_l.startswith("sym") or (wrap and span >= h):
         def shard_fn(x_local):
             from ..transforms.twodim import modwt2_multilevel
 
@@ -128,7 +131,7 @@ def modwt2_multilevel_tiled(
             n_loc = x_local.shape[-2]
             full = jax.lax.all_gather(x_local, axis, axis=-2, tiled=True)
             res = modwt2_multilevel(full, w, levels=levels,
-                                    boundary="symmetric")
+                                    boundary=boundary_l)
             start = idx * n_loc
 
             def sl(v):
@@ -166,6 +169,8 @@ def modwt2_multilevel_tiled(
             out_specs=(
                 tuple((spec, spec, spec) for _ in range(levels)), spec
             ),
+            check_vma=False,  # the symmetric branch's local op may route
+            # through pallas calls, whose outputs carry no vma metadata
         ),
     )
     x = jax.device_put(x, NamedSharding(mesh, spec))
@@ -189,7 +194,7 @@ def imodwt2_multilevel_tiled(
     levels = result.levels
     size = mesh.shape[axis]
     h = result.approx.shape[-2]
-    _validate(h, result.approx.shape[-1], size, "imodwt2_multilevel_tiled")
+    _validate(h, size, "imodwt2_multilevel_tiled")
     low = w.rec_lo * _INV_SQRT2
     high = w.rec_hi * _INV_SQRT2
     span = (w.filter_length - 1) * ((1 << levels) - 1)
@@ -197,7 +202,8 @@ def imodwt2_multilevel_tiled(
     _, from_right = _ring_perms(axis, mesh, wrap)
     w_boundary = "periodic" if wrap else "zero"
 
-    if boundary_l.startswith("sym"):
+    if boundary_l.startswith("sym") or (wrap and span >= h):
+        # see the analysis gather-path note on multi-wrap periodic spans
         def shard_fn(details, approx):
             from ..transforms.twodim import imodwt2_multilevel
 
@@ -212,7 +218,7 @@ def imodwt2_multilevel_tiled(
                     tuple(tuple(ag(p) for p in trip) for trip in details),
                     ag(approx),
                 ),
-                w, boundary="symmetric",
+                w, boundary=boundary_l,
             )
             return jax.lax.dynamic_slice_in_dim(
                 full, idx * n_loc, n_loc, axis=-2
@@ -260,6 +266,7 @@ def imodwt2_multilevel_tiled(
                 tuple((spec, spec, spec) for _ in range(levels)), spec
             ),
             out_specs=spec,
+            check_vma=False,  # see the analysis shard_map note
         ),
     )
     put = lambda v: jax.device_put(v, NamedSharding(mesh, spec))  # noqa: E731

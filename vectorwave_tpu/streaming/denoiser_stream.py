@@ -336,14 +336,29 @@ class StreamingDenoiser:
         # backend: None/'auto' = fused one-pass kernel tier on TPU f32 for
         # zero boundary (the reference's fastest kernel IS its streaming
         # kernel); jnp cascade elsewhere.  'pallas'/'jnp' force.
+        if backend not in (None, "auto", "pallas", "jnp"):
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                f"Unknown StreamingDenoiser backend {backend!r}",
+                suggestions=("Use None, 'auto', 'pallas' or 'jnp'",),
+            )
+        kernel_ok = (
+            dtype == jnp.float32
+            and boundary.lower() in ("zero", "zero_padding")
+        )
+        if backend == "pallas" and not kernel_ok:
+            # the fused streaming kernel implements zero-boundary f32 only
+            raise InvalidArgumentError(
+                ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+                "backend='pallas' streaming denoise serves zero boundary "
+                f"at float32 (got boundary={boundary!r}, dtype={dtype})",
+                suggestions=("Use boundary='zero' with float32, or "
+                             "backend='jnp'",),
+            )
         if backend in (None, "auto"):
             from ..kernels.modwt_pallas import pallas_available
 
-            self._use_kernel = (
-                pallas_available()
-                and dtype == jnp.float32
-                and boundary.lower() in ("zero", "zero_padding")
-            )
+            self._use_kernel = pallas_available() and kernel_ok
         else:
             self._use_kernel = backend == "pallas"
         self.samples_processed = 0

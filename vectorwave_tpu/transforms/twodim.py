@@ -182,7 +182,12 @@ def _modwt2_symmetric_fast(x, w, levels):
         )
         x4 = curp.reshape(curp.shape[0], curp.shape[1], -1, 128)
         wk = x4.shape[2]
-        wtile = 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
+        # deep-halo calls cap the tile at 2, like the main Pallas path: a
+        # 1-level hb=4 wtile=4 analysis call overflowed Mosaic's 16 MB
+        # scoped budget (21.2 MB)
+        hb_lvl = -(-((w.filter_length - 1) * spacing) // 128)
+        cap = 4 if hb_lvl <= 2 else 2
+        wtile = min(cap, 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
         lh, hl, hh, ll = _modwt2_analysis_call(
             x4, levels=1, filters=filters, wtile=wtile, periodic=False,
             precision=prec, interpret=interp,
