@@ -50,6 +50,13 @@ def main() -> None:
     rmse_den = float(np.sqrt(np.mean((den - clean) ** 2)))
     print(f"denoise2 RMSE: {rmse_noisy:.3f} -> {rmse_den:.3f}")
 
+    # 2-D SWT facade + multi-resolution analysis: additive per-scale
+    # images that sum back to the input (periodic).
+    bands = vw.mra2(x, "db4", levels=3)
+    total = sum(np.asarray(b) for b in bands)
+    print(f"mra2: {len(bands)} bands, additivity err "
+          f"{float(np.abs(total - np.asarray(x)).max()):.2e}")
+
     # Decimated pyramid: L-shaped coefficient layout, exact reconstruction.
     details, ll = vw.wavedec2(x, "db2", levels=3)
     print(f"wavedec2: ll {ll.shape}, finest detail {details[0][0].shape}")

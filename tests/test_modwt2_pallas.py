@@ -188,3 +188,34 @@ def test_public_routing_forced_pallas_matches_jnp():
         np.asarray(res.approx), np.asarray(ref.approx), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+@pytest.mark.parametrize(
+    "name,levels,hw",
+    [
+        ("db6", 5, 512),    # span 5*31=155 -> hb=2
+        ("sym6", 5, 512),   # span 155 -> hb=2
+        ("coif2", 4, 512),  # span 11*15=165 -> hb=2
+        ("db8", 5, 512),    # span 15*31=465 -> hb=4
+    ],
+)
+def test_2d_deep_span_family_sweep(name, levels, hw, boundary):
+    """Property sweep: generalized-halo windows across wavelet families."""
+    rng = np.random.default_rng(11)
+    w = _resolve_discrete(name)
+    x = jnp.asarray(rng.standard_normal((1, hw, hw)), jnp.float32)
+    det_p, ll_p = modwt2_multilevel_pallas(
+        x, w, levels, boundary, "float32", interpret=True
+    )
+    det_x, ll_x = k2.modwt2_multilevel_fast(x, w, levels, boundary,
+                                            "float32")
+    j = levels - 1  # the deep (hb >= 2) group
+    for got, want, tag in zip(det_p[j], det_x[j], ("lh", "hl", "hh")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4,
+            err_msg=f"{name} level {j+1} {tag} {boundary}",
+        )
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x),
+                               atol=1e-4)

@@ -119,3 +119,30 @@ def test_streaming_denoiser_class_kernel_backend():
     den.reset()
     assert isinstance(den.state, KernelStreamingDenoiserState)
     assert den.statistics["samples_processed"] == 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name,levels,nblk",
+    [("sym8", 5, 4096), ("coif3", 3, 1536), ("db2", 6, 8192)],
+)
+def test_kernel_streaming_denoiser_family_sweep(name, levels, nblk):
+    """Property sweep: ring-state and output parity across families,
+    block sizes and depths (4 sequential blocks)."""
+    rng = np.random.default_rng(7)
+    st_j = streaming_denoiser_init(name, levels=levels, batch_shape=(2,))
+    st_k = kernel_streaming_denoiser_init(name, levels=levels,
+                                          batch_shape=(2,))
+    for _ in range(4):
+        blk = jnp.asarray(rng.standard_normal((2, nblk)), jnp.float32)
+        st_j, out_j = streaming_denoise_block(st_j, blk, name,
+                                              boundary="zero")
+        st_k, out_k = streaming_denoise_block_kernel(
+            st_k, blk, name, levels=levels, precision="float32",
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(st_j.noise_window), np.asarray(st_k.noise_window)
+        )
+        np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_j),
+                                   atol=1e-4)
