@@ -194,3 +194,30 @@ def test_denoise_packet2_noiseless_near_identity(rng):
     den = vw.denoise_packet2(clean, "db4", 2)
     rel = float(jnp.linalg.norm(den - clean) / jnp.linalg.norm(clean))
     assert rel < 0.15
+
+
+def test_best_basis_denoise2_matches_explicit_workflow(rng):
+    """The single-program masked reconstruction must equal the explicit
+    best_basis2 + reconstruct_basis2 composition node for node."""
+    import jax.numpy as jnp
+
+    from vectorwave_tpu.ops.thresholds import apply_threshold
+    from vectorwave_tpu.transforms.packets2d import (
+        best_basis2,
+        best_basis_denoise2,
+        reconstruct_basis2,
+        wpt2,
+    )
+
+    x = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+    got = best_basis_denoise2(
+        x, "db4", 3, threshold=0.6, cost="shannon", cost_threshold=0.5,
+        mode="soft",
+    )
+    tree = wpt2(x, "db4", 3)
+    basis = best_basis2(tree, cost="shannon", threshold=0.5)
+    want = reconstruct_basis2(
+        tree, basis, "db4",
+        transform_nodes=lambda _l, _i, p: apply_threshold(p, 0.6, "soft"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

@@ -180,25 +180,19 @@ def main() -> None:
 
     out["inpaint_1M_200it_ms"] = round(_measure(inpaint1m_chain, x10, iters=2), 3)
 
-    # 11. packets2d best-basis denoise, 256x256 depth-3 (quadtree DP runs
-    # on HOST between device passes — wall-clock per call, no fori chain)
+    # 11. packets2d best-basis denoise, 256x256 depth-3 — ONE jitted
+    # program since r4 (on-device Coifman–Wickerhauser DP + masked
+    # reconstruction), so the standard amortized fori chain applies
     x11 = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
 
     def pk2_denoise(z):
-        # two-program path: jitted tree+costs, host DP, jitted reconstruct
         return vw.best_basis_denoise2(
             z, "db4", 3, threshold=0.8, cost="shannon", cost_threshold=0.5,
             mode="soft",
         )
 
-    np.asarray(pk2_denoise(x11))[:2]  # warm compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(pk2_denoise(x11))[:2]
-        times.append(time.perf_counter() - t0)
     out["packets2d_bestbasis_denoise_256_ms"] = round(
-        float(np.median(times)) * 1e3, 3
+        _measure(pk2_denoise, x11, iters=100), 3
     )
 
     from _beyond_common import merge_rows
@@ -242,7 +236,7 @@ def main() -> None:
              "note": "one solve; the 200-step FISTA loop is one lax.fori"},
             {"name": "packets2d best-basis denoise 256x256 depth-3",
              "ms": out["packets2d_bestbasis_denoise_256_ms"],
-             "note": "includes the HOST quadtree DP between device passes"},
+             "note": "ONE jitted program: on-device CW DP + masked reconstruction (r4)"},
         ],
         str(dev.device_kind),
     )

@@ -339,76 +339,69 @@ def best_basis_denoise2(
     mode: str = "soft",
     boundary: str = "periodic",
 ) -> jnp.ndarray:
-    """Best-basis packet denoise in TWO device programs.
+    """Best-basis packet denoise as ONE device program.
 
     Round 3's eager composition (``wpt2`` + ``best_basis2`` +
     ``reconstruct_basis2``) paid ~85 per-op dispatches (~30 ms each on a
-    tunneled runtime, 3.1 s total for a 256x256 depth-3 image).  Here the
-    whole quadtree + per-node cost table is ONE jitted program, the
-    Coifman-Wickerhauser DP runs on its (tiny) host-side output, and the
-    thresholded reconstruction from the chosen basis is a second jitted
-    program compiled per basis structure (cached).
+    tunneled runtime, 3.1 s for a 256x256 depth-3 image); round 4's first
+    cut jitted the tree+costs, synced the tiny cost tables to the host for
+    the Coifman–Wickerhauser DP, and compiled the reconstruction PER BASIS
+    (a fresh multi-second compile whenever the data changed the chosen
+    basis).  Here everything is one jitted program: the DP runs on device
+    over the [4^j] cost vectors (an unrolled bottom-up sweep), the chosen
+    basis becomes per-level USED masks (a node is used iff kept and no
+    ancestor is kept), and reconstruction is the full masked bottom-up
+    synthesis — thresholded node planes weighted by their mask, so unused
+    nodes contribute zero.  Identical output, no host sync, no
+    data-dependent recompiles.
     """
     import jax
 
     from ..ops.thresholds import apply_threshold
 
     w = _resolve_discrete(wavelet)
-    key = ("fwd2", w.name, levels, cost, boundary, x.shape, str(x.dtype))
-    fwd = _jit_cache.get(key)
-    if fwd is None:
-        def _fwd(z, cth):
+    depth = levels
+    key = ("bb2", w.name, levels, cost, boundary, mode, x.shape,
+           str(x.dtype))
+    run = _jit_cache.get(key)
+    if run is None:
+        def _run(z, cth, thr):
             tree = wpt2(z, w, levels, boundary=boundary)
             root_energy = jnp.sum(tree.levels[0] ** 2) + _EPS
-            costs = tuple(
+            costs = [
                 _node_costs(lvl, cost, cth, root_energy).sum(
                     axis=tuple(range(lvl.ndim - 3))
                 )
                 for lvl in tree.levels
-            )
-            return tree.levels, costs
+            ]
+            # Coifman–Wickerhauser DP, bottom-up on device
+            best = costs[depth]
+            keeps: list = [None] * depth
+            for j in range(depth - 1, -1, -1):
+                children = best.reshape(-1, 4).sum(axis=1)
+                keep = costs[j] <= children
+                keeps[j] = keep
+                best = jnp.where(keep, costs[j], children)
+            # used masks: kept and no ancestor kept
+            anc = jnp.zeros((1,), bool)
+            used: list = [None] * (depth + 1)
+            for j in range(depth):
+                used[j] = keeps[j] & ~anc
+                anc = jnp.repeat(anc | keeps[j], 4)
+            used[depth] = ~anc
+            # masked bottom-up reconstruction (thresholds on every node
+            # plane; the mask zeroes the unused ones)
+            def t_masked(j):
+                m = used[j].astype(z.dtype)[:, None, None]
+                return apply_threshold(tree.levels[j], thr, mode) * m
 
-        fwd = _jit_cache[key] = jax.jit(_fwd)
-    tree_levels, costs = fwd(x, jnp.float32(cost_threshold))
-    tables = [t.astype(np.float64) for t in jax.device_get(list(costs))]
+            val = t_masked(depth)
+            for j in range(depth - 1, -1, -1):
+                val = _iwpt2_quad(val, w, boundary) + t_masked(j)
+            return val[..., 0, :, :]
 
-    depth = levels
-    best_cost = tables[depth].copy()
-    choice: list[np.ndarray] = [None] * (depth + 1)  # type: ignore[list-item]
-    choice[depth] = np.ones(1 << (2 * depth), dtype=bool)
-    for j in range(depth - 1, -1, -1):
-        own = tables[j]
-        children = best_cost.reshape(-1, 4).sum(axis=1)
-        keep = own <= children
-        choice[j] = keep
-        best_cost = np.where(keep, own, children)
-    basis: list[tuple[int, int]] = []
-
-    def _collect(level: int, idx: int) -> None:
-        if choice[level][idx]:
-            basis.append((level, idx))
-        else:
-            for k in range(4):
-                _collect(level + 1, 4 * idx + k)
-
-    _collect(0, 0)
-    basis_t = tuple(basis)
-
-    rkey = ("rec2", w.name, levels, boundary, mode, basis_t, x.shape,
-            str(x.dtype))
-    rec = _jit_cache.get(rkey)
-    if rec is None:
-        def _rec(lvls, thr):
-            tree = WaveletPacket2DTree(lvls)
-            return reconstruct_basis2(
-                tree, basis_t, w, boundary=boundary,
-                transform_nodes=lambda _l, _i, p: apply_threshold(
-                    p, thr, mode
-                ),
-            )
-
-        rec = _jit_cache[rkey] = jax.jit(_rec)
-    return rec(tree_levels, jnp.asarray(threshold, x.dtype))
+        run = _jit_cache[key] = jax.jit(_run)
+    return run(x, jnp.float32(cost_threshold), jnp.asarray(threshold, x.dtype))
 
 
 def _validate_basis2(basis: Sequence[tuple[int, int]], depth: int) -> None:
