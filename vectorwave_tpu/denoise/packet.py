@@ -17,12 +17,14 @@ MODWT denoiser's estimator, overestimates sigma ~2x there).  The DC-path
 node ``(j, 0)`` passes through untouched (the approximation, as in the
 MODWT denoiser).
 
-Execution shape (round-4 restructure): the tree + cost table + noise floor
-is ONE jitted device program, the Coifman–Wickerhauser DP runs host-side on
-its tiny output, and the shrink+reconstruct from the chosen basis is a
-second jitted program (compiled per basis structure, cached) — the eager
-round-3 composition paid ~85 per-op tunnel dispatches (~30 ms each) and the
-256x256 depth-3 denoise took 3.1 s of pure dispatch.
+Execution shape (round-4, second restructure): everything is ONE jitted
+device program — the Coifman–Wickerhauser DP runs on device over the tiny
+per-level cost vectors and the chosen basis becomes per-level USED masks
+feeding a masked bottom-up synthesis (transforms/packets2d.
+_device_best_basis_masks).  No host sync, no per-basis recompiles; the
+round-3 eager composition paid ~85 per-op tunnel dispatches (3.1 s for a
+256x256 depth-3 denoise), and the first r4 cut still recompiled the
+reconstruction whenever the data changed the basis.
 """
 
 from __future__ import annotations
@@ -30,17 +32,10 @@ from __future__ import annotations
 import math
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops.thresholds import apply_threshold, mad_sigma, select_threshold
-from ..transforms.packets import (
-    WaveletPacketTree,
-    best_basis,
-    modwpt,
-    reconstruct_basis,
-)
+from ..transforms.packets import best_basis, modwpt, reconstruct_basis
 from ..transforms.packets2d import (
-    WaveletPacket2DTree,
     _EPS,
     _node_costs,
     best_basis2,
@@ -61,31 +56,6 @@ def _noise_floor_sigma(tree) -> jnp.ndarray:
     return jnp.median(mads, axis=-1, keepdims=True) * math.sqrt(2.0**depth)
 
 
-def _host_best_basis(tables: list[np.ndarray], depth: int,
-                     arity: int) -> tuple[tuple[int, int], ...]:
-    """Bottom-up Coifman–Wickerhauser DP on host-side cost tables."""
-    best_cost = tables[depth].astype(np.float64).copy()
-    choice: list[np.ndarray] = [None] * (depth + 1)  # type: ignore[list-item]
-    choice[depth] = np.ones(arity**depth, dtype=bool)
-    for j in range(depth - 1, -1, -1):
-        own = tables[j].astype(np.float64)
-        children = best_cost.reshape(-1, arity).sum(axis=1)
-        keep = own <= children
-        choice[j] = keep
-        best_cost = np.where(keep, own, children)
-    basis: list[tuple[int, int]] = []
-
-    def _collect(level: int, idx: int) -> None:
-        if choice[level][idx]:
-            basis.append((level, idx))
-        else:
-            for k in range(arity):
-                _collect(level + 1, arity * idx + k)
-
-    _collect(0, 0)
-    return tuple(basis)
-
-
 def denoise_packet(
     x: jnp.ndarray,
     wavelet,
@@ -102,9 +72,9 @@ def denoise_packet(
     counts coefficients above the deepest level's noise-scaled universal
     threshold (a sparsity-relative-to-noise measure — the entropy costs
     tend to keep the root on noisy inputs, which would make the denoiser a
-    no-op).  The basis search runs host-side on the node cost table
-    (data-dependent structure selection); analysis, shrinkage and synthesis
-    are two jitted device programs.
+    no-op).  The whole pipeline — analysis, on-device basis DP, masked
+    shrinkage and synthesis — is ONE jitted device program (~1 ms for
+    8x16K depth-4 on chip, amortized).
     """
     import jax
 
@@ -117,10 +87,14 @@ def denoise_packet(
         basis = best_basis(tree, cost=cost)
         return _reconstruct_shrunk_1d(tree, basis, w, sigma, method, mode,
                                       boundary)
-    key = ("pk1fwd", w.name, levels, cost, boundary, x.shape, str(x.dtype))
-    fwd = _jit_cache.get(key)
-    if fwd is None:
-        def _fwd(z):
+    from ..transforms.packets import _imodwpt_pair
+    from ..transforms.packets2d import _device_best_basis_masks
+
+    key = ("pk1", w.name, levels, cost, boundary, method, mode, x.shape,
+           str(x.dtype))
+    run = _jit_cache.get(key)
+    if run is None:
+        def _run(z):
             tree = modwpt(z, w, levels, boundary=boundary)
             sigma = _noise_floor_sigma(tree)
             thr = (
@@ -129,30 +103,33 @@ def denoise_packet(
                 / jnp.sqrt(2.0**levels)
             )
             root_energy = jnp.sum(tree.levels[0] ** 2) + _EPS
-            tables = tuple(
+            costs = [
                 _node_costs(lvl, cost, thr, root_energy, axes=(-1,)).sum(
                     axis=tuple(range(lvl.ndim - 2))
                 )
                 for lvl in tree.levels
-            )
-            return tree.levels, tables, sigma
+            ]
+            used = _device_best_basis_masks(costs, levels, 2)
 
-        fwd = _jit_cache[key] = jax.jit(_fwd)
-    tree_levels, tables_dev, sigma = fwd(x)
-    tables = [np.asarray(t) for t in jax.device_get(list(tables_dev))]
-    basis = _host_best_basis(tables, levels, 2)
+            def shrunk(j):
+                lvl = tree.levels[j]  # [..., 2^j, N]
+                level_sigma = sigma[..., None] / jnp.sqrt(2.0**j)
+                threshold = select_threshold(lvl, level_sigma, method)
+                s = apply_threshold(lvl, threshold, mode)
+                # DC path (node 0 of any level): pure approximation,
+                # passes through untouched
+                idx = jnp.arange(1 << j)[:, None]
+                s = jnp.where(idx == 0, lvl, s)
+                return s * used[j].astype(z.dtype)[:, None]
 
-    rkey = ("pk1rec", w.name, levels, boundary, method, mode, basis, x.shape,
-            str(x.dtype))
-    rec = _jit_cache.get(rkey)
-    if rec is None:
-        def _rec(lvls, sg):
-            return _reconstruct_shrunk_1d(
-                WaveletPacketTree(lvls), basis, w, sg, method, mode, boundary
-            )
+            val = shrunk(levels)
+            for j in range(levels, 0, -1):
+                val = _imodwpt_pair(val, w, 1 << (j - 1), boundary)
+                val = val + shrunk(j - 1)
+            return val[..., 0, :]
 
-        rec = _jit_cache[rkey] = jax.jit(_rec)
-    return rec(tree_levels, sigma)
+        run = _jit_cache[key] = jax.jit(_run)
+    return run(x)
 
 
 def _reconstruct_shrunk_1d(tree, basis, w, sigma, method, mode, boundary):
@@ -215,41 +192,56 @@ def denoise_packet2(
         basis = best_basis2(tree, cost=cost)
         return _reconstruct_shrunk_2d(tree, basis, w, sigma, n_total, method,
                                       mode, boundary)
-    key = ("pk2fwd", w.name, levels, cost, boundary, x.shape, str(x.dtype))
-    fwd = _jit_cache.get(key)
-    if fwd is None:
-        def _fwd(z):
+    from ..transforms.packets2d import (
+        _device_best_basis_masks,
+        _iwpt2_quad,
+    )
+
+    key = ("pk2", w.name, levels, cost, boundary, method, mode, x.shape,
+           str(x.dtype))
+    run = _jit_cache.get(key)
+    if run is None:
+        def _run(z):
             tree = wpt2(z, w, levels, boundary=boundary)
             leaves = tree.leaves
             flat = leaves.reshape(leaves.shape[:-2] + (-1,))
-            sigma = jnp.median(mad_sigma(flat)[..., 0], axis=-1, keepdims=True)
+            sigma = jnp.median(
+                mad_sigma(flat)[..., 0], axis=-1, keepdims=True
+            )
             thr = jnp.mean(sigma) * jnp.sqrt(2.0 * jnp.log(float(n_total)))
             root_energy = jnp.sum(tree.levels[0] ** 2) + _EPS
-            tables = tuple(
+            costs = [
                 _node_costs(lvl, cost, thr, root_energy).sum(
                     axis=tuple(range(lvl.ndim - 3))
                 )
                 for lvl in tree.levels
-            )
-            return tree.levels, tables, sigma
+            ]
+            used = _device_best_basis_masks(costs, levels, 4)
 
-        fwd = _jit_cache[key] = jax.jit(_fwd)
-    tree_levels, tables_dev, sigma = fwd(x)
-    tables = [np.asarray(t) for t in jax.device_get(list(tables_dev))]
-    basis = _host_best_basis(tables, levels, 4)
+            def shrunk(j):
+                lvl = tree.levels[j]  # [..., 4^j, h, w]
+                vec = lvl.reshape(lvl.shape[:-2] + (-1,))
+                if method.lower() == "universal":
+                    threshold = (
+                        sigma * math.sqrt(2.0 * math.log(n_total))
+                    )[..., None]
+                else:
+                    threshold = select_threshold(vec, sigma[..., None],
+                                                 method)
+                s = apply_threshold(vec, threshold, mode).reshape(lvl.shape)
+                # DC path (node 0 of any level) passes through
+                idx = jnp.arange(1 << (2 * j))[:, None, None]
+                s = jnp.where(idx == 0, lvl, s)
+                return s * used[j].astype(z.dtype)[:, None, None]
 
-    rkey = ("pk2rec", w.name, levels, boundary, method, mode, basis, x.shape,
-            str(x.dtype))
-    rec = _jit_cache.get(rkey)
-    if rec is None:
-        def _rec(lvls, sg):
-            return _reconstruct_shrunk_2d(
-                WaveletPacket2DTree(lvls), basis, w, sg, n_total, method,
-                mode, boundary,
-            )
+            val = shrunk(levels)
+            for j in range(levels, 0, -1):
+                val = _iwpt2_quad(val, w, boundary)
+                val = val + shrunk(j - 1)
+            return val[..., 0, :, :]
 
-        rec = _jit_cache[rkey] = jax.jit(_rec)
-    return rec(tree_levels, sigma)
+        run = _jit_cache[key] = jax.jit(_run)
+    return run(x)
 
 
 def _reconstruct_shrunk_2d(tree, basis, w, sigma, n_total, method, mode,

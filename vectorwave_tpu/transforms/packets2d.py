@@ -328,6 +328,27 @@ def _node_costs(lvl: jnp.ndarray, cost: str, threshold, root_energy,
     )
 
 
+def _device_best_basis_masks(costs, depth: int, arity: int):
+    """On-device Coifman–Wickerhauser DP over per-level ``[arity^j]`` cost
+    vectors -> per-level USED masks (a node is used iff kept and no
+    ancestor is kept).  Unrolled bottom-up sweep: jit-safe, no host sync,
+    no data-dependent program structure."""
+    best = costs[depth]
+    keeps: list = [None] * depth
+    for j in range(depth - 1, -1, -1):
+        children = best.reshape(-1, arity).sum(axis=1)
+        keep = costs[j] <= children
+        keeps[j] = keep
+        best = jnp.where(keep, costs[j], children)
+    anc = jnp.zeros((1,), bool)
+    used: list = [None] * (depth + 1)
+    for j in range(depth):
+        used[j] = keeps[j] & ~anc
+        anc = jnp.repeat(anc | keeps[j], arity)
+    used[depth] = ~anc
+    return used
+
+
 def best_basis_denoise2(
     x: jnp.ndarray,
     wavelet,
@@ -374,21 +395,7 @@ def best_basis_denoise2(
                 )
                 for lvl in tree.levels
             ]
-            # Coifman–Wickerhauser DP, bottom-up on device
-            best = costs[depth]
-            keeps: list = [None] * depth
-            for j in range(depth - 1, -1, -1):
-                children = best.reshape(-1, 4).sum(axis=1)
-                keep = costs[j] <= children
-                keeps[j] = keep
-                best = jnp.where(keep, costs[j], children)
-            # used masks: kept and no ancestor kept
-            anc = jnp.zeros((1,), bool)
-            used: list = [None] * (depth + 1)
-            for j in range(depth):
-                used[j] = keeps[j] & ~anc
-                anc = jnp.repeat(anc | keeps[j], 4)
-            used[depth] = ~anc
+            used = _device_best_basis_masks(costs, depth, 4)
             # masked bottom-up reconstruction (thresholds on every node
             # plane; the mask zeroes the unused ones)
             def t_masked(j):
