@@ -302,7 +302,7 @@ def reconstruct_basis2(
 
 
 # ---------------------------------------------------------------------------
-# Fused best-basis denoise: TWO device programs total
+# Fused best-basis denoise: ONE device program (on-device DP)
 # ---------------------------------------------------------------------------
 
 _jit_cache: dict = {}
@@ -332,7 +332,10 @@ def _device_best_basis_masks(costs, depth: int, arity: int):
     """On-device Coifman–Wickerhauser DP over per-level ``[arity^j]`` cost
     vectors -> per-level USED masks (a node is used iff kept and no
     ancestor is kept).  Unrolled bottom-up sweep: jit-safe, no host sync,
-    no data-dependent program structure."""
+    no data-dependent program structure.  The DP compares in float64 where
+    enabled (CPU/x64 — matching the host DP of ``best_basis2`` bit for bit
+    near ties; on TPU x64-less backends this is a no-op downcast)."""
+    costs = [c.astype(jnp.float64) for c in costs]
     best = costs[depth]
     keeps: list = [None] * depth
     for j in range(depth - 1, -1, -1):

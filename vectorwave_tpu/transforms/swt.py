@@ -105,6 +105,13 @@ def extract_level(
 ) -> jnp.ndarray:
     """Band isolation: zero all levels but ``target_level`` and reconstruct
     (``extractLevel`` :576-619; 0 selects the approximation band)."""
+    if not (0 <= target_level <= levels):
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_LEVEL,
+            f"target_level must be in [0, {levels}], got {target_level}",
+        )
     result = swt(x, wavelet, levels=levels, boundary=boundary)
     details = tuple(
         d if level == target_level else jnp.zeros_like(d)

@@ -80,6 +80,13 @@ def extract_level2(
 ) -> jnp.ndarray:
     """Band isolation: zero all subbands except ``target_level``'s three
     orientation bands and reconstruct (0 selects the smooth/ll band)."""
+    if not (0 <= target_level <= levels):
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.VAL_INVALID_LEVEL,
+            f"target_level must be in [0, {levels}], got {target_level}",
+        )
     result = swt2(x, wavelet, levels=levels, boundary=boundary)
     details = tuple(
         trip if level == target_level
