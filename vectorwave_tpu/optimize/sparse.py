@@ -53,6 +53,22 @@ __all__ = [
 ]
 
 
+#: default decomposition depth cap for the solvers.  Deep frames are both
+#: SLOW (iteration cost grows in J, and max_levels of a 1M signal is 17 —
+#: far past the fused kernel's halo budget, dropping the whole FISTA loop
+#: to the portable cascade: 1,198 vs 252 ms per 200-step 1M solve) and
+#: WRONG for recovery: lambda-continuation shrinks every detail level, so
+#: coarse structure must survive in the UNPENALIZED approx plane — at
+#: J=17 the approx is ~the global mean and a smooth 1M test signal FAILS
+#: to interpolate (rel err 1.27 on missing samples) where the capped
+#: J=8 frame restores it to ~1e-5.  Pass ``levels=`` to override.
+_MAX_SOLVER_LEVELS = 8
+
+
+def _default_levels(n: int, w) -> int:
+    return min(max_levels(n, w), _MAX_SOLVER_LEVELS)
+
+
 class SparseRecovery(NamedTuple):
     """Solution of a wavelet-sparse inverse problem.
 
@@ -208,7 +224,7 @@ def bpdn(
     w = _resolve_discrete(wavelet)
     n = y.shape[-1]
     if levels is None:
-        levels = max_levels(n, w)
+        levels = _default_levels(n, w)
     if lam is None:
         probe = modwt_multilevel(y, w, levels=1, boundary=boundary)
         lam = 0.25 * universal_threshold(n, mad_sigma(probe.details[0]))
@@ -268,7 +284,7 @@ def inpaint(
     # placeholders (a common missing-data encoding) cannot poison the solve.
     y = jnp.where(mask > 0, y, 0)
     if levels is None:
-        levels = max_levels(y.shape[-1], w)
+        levels = _default_levels(y.shape[-1], w)
     if lam is None or lam_init is None:
         probe = modwt_multilevel(y, w, levels=1, boundary=boundary)
         lam, lam_init = _default_inpaint_lams(probe, lam, lam_init)
@@ -337,7 +353,7 @@ def sparse_recover(
     """
     w = _resolve_discrete(wavelet)
     if levels is None:
-        levels = max_levels(signal_shape[-1], w)
+        levels = _default_levels(signal_shape[-1], w)
     analysis, synthesis = _frame(w, levels, boundary, ndim)
 
     if step_size is None:
