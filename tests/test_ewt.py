@@ -118,3 +118,28 @@ def test_ewt_boundaries_rank_by_prominence_not_height():
     sig = strong + weak + 0.01 * rng.standard_normal(n)
     (bound,) = vw.ewt_boundaries(sig, 2, smooth=3)
     assert 0.11 < bound < 0.34
+
+
+def test_ewt_traced_boundaries_match_static():
+    """A traced jnp boundaries array builds the bank ON DEVICE: same
+    windows as the static tuple path, one compiled program for every
+    boundary set of a band count, and gradients flow through the
+    boundaries."""
+    import jax
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    bounds = (0.05, 0.15, 0.35)
+    a = np.asarray(vw.ewt(x, bounds))
+    b = np.asarray(vw.ewt(x, jnp.asarray(bounds)))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    rt = jax.jit(lambda z, bd: vw.iewt(vw.ewt(z, bd), bd))
+    for bs in ((0.05, 0.15, 0.35), (0.08, 0.22, 0.4)):
+        err = float(jnp.max(jnp.abs(rt(x, jnp.asarray(bs)) - x)))
+        assert err < 1e-5, (bs, err)
+
+    g = jax.grad(
+        lambda bd: jnp.sum(vw.ewt(x, bd)[0] ** 2)
+    )(jnp.asarray(bounds))
+    assert np.isfinite(np.asarray(g)).all()

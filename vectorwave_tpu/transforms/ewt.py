@@ -26,6 +26,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..errors import ErrorCode, InvalidArgumentError, InvalidSignalError
@@ -163,28 +164,82 @@ def ewt_filterbank(n: int, boundaries: tuple[float, ...], dtype=np.float32):
     return _meyer_windows(n, bounds, dtype)
 
 
-def ewt(x: jnp.ndarray, boundaries: tuple[float, ...]) -> jnp.ndarray:
+def _meyer_windows_jnp(n: int, bounds: jnp.ndarray, dtype) -> jnp.ndarray:
+    """TRACED-boundaries Meyer windows ``[n_bands, n//2+1]``.
+
+    Same construction as :func:`_meyer_windows` but in jnp over a traced
+    ``[n_bands-1]`` boundaries array: the piecewise clamps are exactly the
+    ``clip`` inside ``beta`` (outside the transition ``beta`` saturates at
+    0/1), so no masked assignments are needed — the windows, and therefore
+    the whole EWT, are differentiable in the boundaries.
+    """
+    freqs = jnp.asarray(np.fft.rfftfreq(n), dtype)
+    bounds = bounds.astype(dtype)
+    nxt = jnp.concatenate([bounds[1:], jnp.asarray([0.5], dtype)])
+    prev = jnp.concatenate([jnp.asarray([0.0], dtype), bounds[:-1]])
+    g = 0.45 * jnp.minimum(
+        (bounds - prev) / jnp.maximum(bounds + prev, 1e-12),
+        (nxt - bounds) / (nxt + bounds),
+    )
+    gammas = jnp.maximum(g, 1e-6)
+
+    def beta(t):
+        t = jnp.clip(t, 0.0, 1.0)
+        return t**4 * (35 - 84 * t + 70 * t**2 - 20 * t**3)
+
+    def rise(wn, gm):  # [F] 0 -> 1 across [(1-g)wn, (1+g)wn]
+        return jnp.sin(
+            0.5 * math.pi * beta((freqs - (1 - gm) * wn) / (2 * gm * wn))
+        )
+
+    def fall(wn, gm):
+        return jnp.cos(
+            0.5 * math.pi * beta((freqs - (1 - gm) * wn) / (2 * gm * wn))
+        )
+
+    rises = jax.vmap(rise)(bounds, gammas)  # [K, F]
+    falls = jax.vmap(fall)(bounds, gammas)
+    wins = [falls[0]]
+    k = bounds.shape[0]
+    for band in range(1, k):
+        wins.append(rises[band - 1] * falls[band])
+    wins.append(rises[k - 1])
+    return jnp.stack(wins)
+
+
+def _resolve_bank(n: int, boundaries, dtype) -> jnp.ndarray:
+    """Static tuple -> numpy-built bank (validated, f64-accurate); traced
+    jnp array -> on-device bank (jittable, differentiable)."""
+    if isinstance(boundaries, (jnp.ndarray, jax.core.Tracer)):
+        return _meyer_windows_jnp(n, boundaries, dtype)
+    return jnp.asarray(ewt_filterbank(n, boundaries, np.float64), dtype)
+
+
+def ewt(x: jnp.ndarray, boundaries) -> jnp.ndarray:
     """Decompose ``[..., N]`` into ``[..., n_bands, N]`` adaptive modes.
 
-    ``boundaries`` (static floats from :func:`ewt_boundaries`) split
-    ``(0, 0.5)`` cycles/sample; band 0 holds DC..first boundary.
-    Modes sum to ``x`` after :func:`iewt` exactly (tight frame).
+    ``boundaries`` splits ``(0, 0.5)`` cycles/sample; band 0 holds
+    DC..first boundary.  Modes sum to ``x`` after :func:`iewt` exactly
+    (tight frame).  Pass a STATIC tuple of floats (from
+    :func:`ewt_boundaries`) for the validated f64-accurate bank, or a
+    TRACED ``[n_bands-1]`` jnp array to build the bank on device — one
+    compiled program serves every boundary set of that band count (no
+    per-signal recompiles for adaptive pipelines), and the transform is
+    differentiable in the boundaries.
     """
     n = x.shape[-1]
     real_dtype = (
         x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     )
-    bank = jnp.asarray(ewt_filterbank(n, boundaries, np.float64), real_dtype)
+    bank = _resolve_bank(n, boundaries, real_dtype)
     spec = jnp.fft.rfft(x.astype(real_dtype), axis=-1)
     return jnp.fft.irfft(spec[..., None, :] * bank, n=n, axis=-1)
 
 
-def iewt(components: jnp.ndarray, boundaries: tuple[float, ...]) -> jnp.ndarray:
+def iewt(components: jnp.ndarray, boundaries) -> jnp.ndarray:
     """Exact inverse: re-filter each mode and sum (tight-frame adjoint)."""
     n = components.shape[-1]
-    bank = jnp.asarray(
-        ewt_filterbank(n, boundaries, np.float64), components.dtype
-    )
+    bank = _resolve_bank(n, boundaries, components.dtype)
     spec = jnp.fft.rfft(components, axis=-1)
     return jnp.fft.irfft(jnp.sum(spec * bank, axis=-2), n=n, axis=-1)
 
