@@ -13,8 +13,12 @@ Split into two stages to stay jit-friendly:
   amplitude spectrum, take the ``n_bands-1`` deepest minima between the
   strongest peaks — returns plain floats (static for tracing).
 * :func:`ewt` / :func:`iewt` (jittable): Meyer windows with cosine
-  transitions on the static boundaries satisfy ``sum g_k(w)^2 = 1``
-  exactly (tight frame), so synthesis = re-filter + sum is EXACT.
+  transitions satisfy ``sum g_k(w)^2 = 1`` exactly (tight frame), so
+  synthesis = re-filter + sum is EXACT.  Boundaries may be a static
+  float tuple (validated, f64-accurate bank) or a TRACED jnp array —
+  the bank then builds on device, one compiled program serves every
+  boundary set of a band count, and the transform is differentiable in
+  the boundaries.
 
 ``ewt_hilbert`` returns per-band analytic signals (instantaneous
 amplitude/frequency per mode — the EWT counterpart of Hilbert-Huang
