@@ -39,7 +39,11 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
-from vectorwave_tpu.parallel import make_mesh, modwt_multilevel_tiled
+from vectorwave_tpu.parallel import (
+    make_mesh,
+    modwt2_multilevel_tiled,
+    modwt_multilevel_tiled,
+)
 from vectorwave_tpu.parallel.batch import modwt_multilevel_sharded_batch
 
 WAVELET = "db4"
@@ -68,6 +72,24 @@ def bench_tiled(n_devices: int, n: int) -> float:
     def run(x):
         res = modwt_multilevel_tiled(
             x, WAVELET, levels=LEVELS, mesh=mesh, boundary="periodic"
+        )
+        return res.approx
+
+    return _time(run, x)
+
+
+def bench_tiled2d(n_devices: int, rows_per: int, w_dim: int) -> float:
+    """2-D MODWT tiled along image rows (weak scaling: rows/device
+    constant)."""
+    mesh = make_mesh({"rows": n_devices})
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((n_devices * rows_per, w_dim)), jnp.float32
+    )
+
+    def run(v):
+        res = modwt2_multilevel_tiled(
+            v, WAVELET, levels=3, mesh=mesh, boundary="periodic"
         )
         return res.approx
 
@@ -133,6 +155,8 @@ def main() -> None:
         weak[p] = bench_tiled(p, n_weak_per * p)
         batch_rows[p] = bench_batch(p, batch_strong, 1 << 14)
 
+    tiled2d = {p: bench_tiled2d(p, 128, 512) for p in devices}
+
     # multihost weak scaling: per-host work constant, hosts double
     mh = {h: bench_multihost(h, 4, 8 * h, 1 << 19) for h in (1, 2)}
     mh_cwt = {h: bench_cwt_2d(h, 4, 8 * h, 1 << 19) for h in (1, 2)}
@@ -141,6 +165,27 @@ def main() -> None:
         return t1 / (p * tp)
 
     lines = [
+        "# Scaling",
+        "",
+        "## Tiled path on real TPU silicon (1-device mesh)",
+        "",
+        "The distributed tier's shard-local compute routes through the",
+        "composite MXU kernel (one cumulative-halo exchange per direction,",
+        "then a zero-boundary kernel call on the extended shard —",
+        "`parallel/tiled.py`).  On the real chip this is a DRIVER ARTIFACT",
+        "row: `BENCH_FULL_r04.json` \"tiled 1-dev mesh roundtrip 128x64K",
+        "db4 6-level\" runs within ~5% of the plain composite kernel",
+        "(outputs bitwise identical; reproduce with",
+        "tools/probe_tiled_chip.py).  The EXACT (<=1e-10) tier also runs",
+        "sharded (`modwt_multilevel_tiled_exact`) and is asserted <=1e-10",
+        "by `dryrun_multichip` on every driver run.  2-D images shard the",
+        "same way (`parallel/tiled2d.py`, one cumulative-span row-slab",
+        "exchange; weak-scaling table below).",
+        "",
+        "A TRUE 2-process run (jax.distributed + Gloo, separate OS",
+        "processes, 2x4 virtual devices) reproduces the DCN-free layout",
+        "end to end: tools/multiproc_dcn_check.py.",
+        "",
         "# Scaling on the virtual CPU device mesh",
         "",
         f"Host: {cores} physical cores; mesh uses up to 8 XLA CPU devices "
@@ -173,6 +218,22 @@ def main() -> None:
             f"{weak[1]/weak[p]:.2f} |"
         )
     lines += [
+        "",
+        "## 2-D tiled weak scaling — 128 image rows x 512 per device",
+        "",
+        "| devices | image | time (ms) | efficiency |",
+        "|---|---|---|---|",
+    ]
+    for p in devices:
+        lines.append(
+            f"| {p} | {128*p}x512 | {tiled2d[p]*1e3:.2f} | "
+            f"{tiled2d[1]/tiled2d[p]:.2f} |"
+        )
+    lines += [
+        "",
+        "At 128 rows/device the db4 J=3 cumulative halo (49 rows) is a 38%",
+        "per-shard overcompute — production shards should be several times",
+        "the composite span (the halo cost amortizes as rows/device grow).",
         "",
         f"## Batch sharding — {batch_strong} x 16K signals over the data axis",
         "",

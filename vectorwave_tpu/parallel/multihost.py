@@ -135,6 +135,12 @@ def _place(x, mesh: Mesh):
             f"multihost facade expects [batch, n], got shape {x.shape}",
             suggestions=("Reshape leading axes into one batch axis",),
         )
+    if isinstance(x, jax.core.Tracer):
+        # inside a jit trace: tracers carry no committed sharding, and
+        # device_put/make_array are invalid — annotate the layout instead
+        # and let the partitioner place it (querying .sharding on tracers
+        # raises on jax >= 0.9)
+        return jax.lax.with_sharding_constraint(x, sharding)
     if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
         return x
     n_hosts = mesh.shape[HOST_AXIS]
