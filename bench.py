@@ -224,6 +224,23 @@ def main() -> None:
               f"({extras['pct_mxu_peak_fused_roundtrip']}% MXU peak)",
               file=sys.stderr, flush=True)
 
+        # fused SINGLE-PASS bf16 tier — the fast end of the ladder.  At
+        # 8 B/sample its HBM traffic is trivial and one dot pass leaves
+        # the MXU idle-rich, so the measured precision-INDEPENDENT VPU
+        # floor (~0.036 ns/sample, tools/probe_fused_gap.py) is the
+        # binding limit here, not a memory or compute wall.
+        def frt_fast(y):
+            return vw.modwt_roundtrip_fused(
+                y, WAVELET, levels=LEVELS, boundary="periodic",
+                precision="bf16",
+            )
+
+        t_ff = _measure(frt_fast, x)
+        ff_rate = BATCH * N / t_ff / 1e6
+        extras["fused_roundtrip_bf16_msamples"] = round(ff_rate, 1)
+        print(f"bench: fused roundtrip bf16: {ff_rate:.0f} Msamples/s "
+              "(VPU-floor-bound)", file=sys.stderr, flush=True)
+
         # fused one-pass denoise (analysis -> threshold -> synthesis in
         # VMEM, kernels/modwt_mxu._composite_denoise_call): the production
         # denoise rate at the headline shape (sigma via the decimated MAD
