@@ -238,7 +238,11 @@ def main() -> None:
         t_ff = _measure(frt_fast, x)
         ff_rate = BATCH * N / t_ff / 1e6
         extras["fused_roundtrip_bf16_msamples"] = round(ff_rate, 1)
+        extras["fused_roundtrip_bf16_rmse"] = float(
+            jnp.sqrt(jnp.mean((jax.jit(frt_fast)(x) - x) ** 2))
+        )
         print(f"bench: fused roundtrip bf16: {ff_rate:.0f} Msamples/s "
+              f"rmse {extras['fused_roundtrip_bf16_rmse']:.2e} "
               "(VPU-floor-bound)", file=sys.stderr, flush=True)
 
         # fused one-pass denoise (analysis -> threshold -> synthesis in

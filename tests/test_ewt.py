@@ -143,3 +143,15 @@ def test_ewt_traced_boundaries_match_static():
         lambda bd: jnp.sum(vw.ewt(x, bd)[0] ** 2)
     )(jnp.asarray(bounds))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ewt_concrete_array_boundaries_validated():
+    """CONCRETE jnp boundary arrays get the same validation as tuples (a
+    decreasing array would silently clamp gamma into a broken frame)."""
+    import pytest
+
+    x = jnp.zeros(1024, jnp.float32)
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.ewt(x, jnp.asarray([0.3, 0.1]))
+    with pytest.raises(vw.InvalidArgumentError):
+        vw.ewt(x, jnp.asarray([0.7]))

@@ -136,10 +136,22 @@ def _place(x, mesh: Mesh):
             suggestions=("Reshape leading axes into one batch axis",),
         )
     if isinstance(x, jax.core.Tracer):
-        # inside a jit trace: tracers carry no committed sharding, and
-        # device_put/make_array are invalid — annotate the layout instead
-        # and let the partitioner place it (querying .sharding on tracers
-        # raises on jax >= 0.9)
+        if _mesh_process_count(mesh) > 1:
+            # the multi-controller convention is process-LOCAL rows
+            # assembled via make_array_from_process_local_data, which a
+            # traced value cannot express — sharding the local block as
+            # if it were global would silently diverge per process
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                "multihost facades cannot be traced (jit) in "
+                "multi-controller runs: pass concrete per-process rows",
+                suggestions=("Call the facade outside jit, or build the "
+                             "global array first",),
+            )
+        # single-controller jit trace: tracers carry no committed
+        # sharding, and device_put/make_array are invalid — annotate the
+        # layout instead and let the partitioner place it (querying
+        # .sharding on tracers raises on jax >= 0.9)
         return jax.lax.with_sharding_constraint(x, sharding)
     if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(sharding, x.ndim):
         return x

@@ -103,56 +103,44 @@ def ewt_boundaries(
     return tuple(bounds)
 
 
+def _meyer_windows_core(xp, freqs, bounds):
+    """Meyer-style windows ``[n_bands, F]`` over any array namespace
+    (numpy for the static f64 bank, jnp for the traced on-device bank —
+    ONE implementation so the two paths cannot drift).
+
+    The piecewise clamps of the classical construction are exactly the
+    ``clip`` inside beta (outside a transition beta saturates at 0/1), so
+    no masked assignments are needed and the windows are differentiable
+    in the boundaries.  Transition half-widths follow Gilles eq. 2.9
+    (largest gamma keeping transitions disjoint).
+    """
+    dt = bounds.dtype
+    nxt = xp.concatenate([bounds[1:], xp.asarray([0.5], dt)])
+    prev = xp.concatenate([xp.asarray([0.0], dt), bounds[:-1]])
+    g = 0.45 * xp.minimum(
+        (bounds - prev) / xp.maximum(bounds + prev, 1e-12),
+        (nxt - bounds) / (nxt + bounds),
+    )
+    gammas = xp.maximum(g, 1e-6)
+    wn = bounds[:, None]
+    gm = gammas[:, None]
+    t = xp.clip((freqs[None, :] - (1 - gm) * wn) / (2 * gm * wn), 0.0, 1.0)
+    beta = t**4 * (35 - 84 * t + 70 * t**2 - 20 * t**3)
+    rises = xp.sin(0.5 * math.pi * beta)  # [K, F] 0 -> 1 per transition
+    falls = xp.cos(0.5 * math.pi * beta)  # [K, F] 1 -> 0
+    k = bounds.shape[0]
+    wins = [falls[0]]
+    for band in range(1, k):
+        wins.append(rises[band - 1] * falls[band])
+    wins.append(rises[k - 1])
+    return xp.stack(wins)
+
+
 def _meyer_windows(n: int, bounds: tuple[float, ...], dtype) -> np.ndarray:
-    """[n_bands, n//2+1] Meyer-style windows with sum of squares == 1."""
+    """[n_bands, n//2+1] static-f64 windows (sum of squares == 1)."""
     freqs = np.fft.rfftfreq(n)
-    omegas = list(bounds) + [0.5]
-    # transition half-width per boundary: largest gamma keeping transitions
-    # disjoint (Gilles eq. 2.9)
-    gammas = []
-    prev = 0.0
-    for i, wn in enumerate(bounds):
-        nxt = omegas[i + 1]
-        g = 0.45 * min((wn - prev) / max(wn + prev, 1e-12),
-                       (nxt - wn) / (nxt + wn))
-        gammas.append(max(g, 1e-6))
-        prev = wn
-
-    def beta(t):
-        t = np.clip(t, 0.0, 1.0)
-        return t**4 * (35 - 84 * t + 70 * t**2 - 20 * t**3)
-
-    def rise(w, wn, g):  # 0 -> 1 across [(1-g)wn, (1+g)wn]
-        return np.sin(
-            0.5 * math.pi * beta((w - (1 - g) * wn) / (2 * g * wn))
-        )
-
-    def fall(w, wn, g):  # 1 -> 0 across the same transition
-        return np.cos(
-            0.5 * math.pi * beta((w - (1 - g) * wn) / (2 * g * wn))
-        )
-
-    wins = []
-    for band in range(len(bounds) + 1):
-        if band == 0:
-            win = fall(freqs, bounds[0], gammas[0])
-            win[freqs <= (1 - gammas[0]) * bounds[0]] = 1.0
-            win[freqs >= (1 + gammas[0]) * bounds[0]] = 0.0
-        else:
-            lo = bounds[band - 1]
-            glo = gammas[band - 1]
-            win = rise(freqs, lo, glo)
-            win[freqs <= (1 - glo) * lo] = 0.0
-            win[freqs >= (1 + glo) * lo] = 1.0
-            if band < len(bounds) + 1 - 1:
-                hi = bounds[band]
-                ghi = gammas[band]
-                upper = fall(freqs, hi, ghi)
-                upper[freqs <= (1 - ghi) * hi] = 1.0
-                upper[freqs >= (1 + ghi) * hi] = 0.0
-                win = win * upper
-        wins.append(win)
-    return np.stack(wins).astype(dtype)
+    out = _meyer_windows_core(np, freqs, np.asarray(bounds, np.float64))
+    return out.astype(dtype)
 
 
 def ewt_filterbank(n: int, boundaries: tuple[float, ...], dtype=np.float32):
@@ -169,53 +157,34 @@ def ewt_filterbank(n: int, boundaries: tuple[float, ...], dtype=np.float32):
 
 
 def _meyer_windows_jnp(n: int, bounds: jnp.ndarray, dtype) -> jnp.ndarray:
-    """TRACED-boundaries Meyer windows ``[n_bands, n//2+1]``.
-
-    Same construction as :func:`_meyer_windows` but in jnp over a traced
-    ``[n_bands-1]`` boundaries array: the piecewise clamps are exactly the
-    ``clip`` inside ``beta`` (outside the transition ``beta`` saturates at
-    0/1), so no masked assignments are needed — the windows, and therefore
-    the whole EWT, are differentiable in the boundaries.
-    """
+    """TRACED-boundaries windows: the shared core over jnp — jittable and
+    differentiable in the boundaries."""
     freqs = jnp.asarray(np.fft.rfftfreq(n), dtype)
-    bounds = bounds.astype(dtype)
-    nxt = jnp.concatenate([bounds[1:], jnp.asarray([0.5], dtype)])
-    prev = jnp.concatenate([jnp.asarray([0.0], dtype), bounds[:-1]])
-    g = 0.45 * jnp.minimum(
-        (bounds - prev) / jnp.maximum(bounds + prev, 1e-12),
-        (nxt - bounds) / (nxt + bounds),
-    )
-    gammas = jnp.maximum(g, 1e-6)
+    return _meyer_windows_core(jnp, freqs, bounds.astype(dtype))
 
-    def beta(t):
-        t = jnp.clip(t, 0.0, 1.0)
-        return t**4 * (35 - 84 * t + 70 * t**2 - 20 * t**3)
 
-    def rise(wn, gm):  # [F] 0 -> 1 across [(1-g)wn, (1+g)wn]
-        return jnp.sin(
-            0.5 * math.pi * beta((freqs - (1 - gm) * wn) / (2 * gm * wn))
+def _validate_bounds_values(vals) -> None:
+    vals = [float(v) for v in vals]
+    if not vals or any(not 0.0 < b < 0.5 for b in vals) or any(
+        b2 <= b1 for b1, b2 in zip(vals, vals[1:])
+    ):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"boundaries must be strictly increasing in (0, 0.5): {vals}",
         )
-
-    def fall(wn, gm):
-        return jnp.cos(
-            0.5 * math.pi * beta((freqs - (1 - gm) * wn) / (2 * gm * wn))
-        )
-
-    rises = jax.vmap(rise)(bounds, gammas)  # [K, F]
-    falls = jax.vmap(fall)(bounds, gammas)
-    wins = [falls[0]]
-    k = bounds.shape[0]
-    for band in range(1, k):
-        wins.append(rises[band - 1] * falls[band])
-    wins.append(rises[k - 1])
-    return jnp.stack(wins)
 
 
 def _resolve_bank(n: int, boundaries, dtype) -> jnp.ndarray:
     """Static tuple -> numpy-built bank (validated, f64-accurate); traced
-    jnp array -> on-device bank (jittable, differentiable)."""
-    if isinstance(boundaries, (jnp.ndarray, jax.core.Tracer)):
+    jnp array -> on-device bank (jittable, differentiable).  CONCRETE
+    arrays are validated like tuples (a decreasing array would otherwise
+    silently clamp gamma and produce a broken frame), then built on
+    device so the two array paths behave identically."""
+    if isinstance(boundaries, jax.core.Tracer):
         return _meyer_windows_jnp(n, boundaries, dtype)
+    if isinstance(boundaries, (jnp.ndarray, np.ndarray)):
+        _validate_bounds_values(np.asarray(boundaries).tolist())
+        return _meyer_windows_jnp(n, jnp.asarray(boundaries), dtype)
     return jnp.asarray(ewt_filterbank(n, boundaries, np.float64), dtype)
 
 
@@ -248,7 +217,7 @@ def iewt(components: jnp.ndarray, boundaries) -> jnp.ndarray:
     return jnp.fft.irfft(jnp.sum(spec * bank, axis=-2), n=n, axis=-1)
 
 
-def ewt_hilbert(x: jnp.ndarray, boundaries: tuple[float, ...]) -> jnp.ndarray:
+def ewt_hilbert(x: jnp.ndarray, boundaries) -> jnp.ndarray:
     """Complex analytic modes ``[..., n_bands, N]``: ``abs`` gives each
     mode's instantaneous amplitude, the phase derivative its frequency
     (the Hilbert-Huang-style spectrum on EWT modes)."""
