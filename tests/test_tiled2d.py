@@ -118,3 +118,22 @@ def test_tiled2d_batch_axis():
         res, "haar", mesh=mesh, boundary="periodic", batch_axis="batch"
     )
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=3e-5)
+
+
+def test_tiled2d_under_outer_jit():
+    """The facade composes under an outer jit (device_put on tracers
+    lowers to a sharding annotation) — the serving-path usage."""
+    mesh = _mesh()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)
+
+    @jax.jit
+    def rt(v):
+        res = modwt2_multilevel_tiled(
+            v, "db4", levels=2, mesh=mesh, boundary="periodic"
+        )
+        return imodwt2_multilevel_tiled(
+            res, "db4", mesh=mesh, boundary="periodic"
+        )
+
+    np.testing.assert_allclose(np.asarray(rt(x)), np.asarray(x), atol=3e-5)
