@@ -63,11 +63,45 @@ def main() -> None:
 
     vw.enable_compilation_cache()
 
-    try:
-        device = jax.devices()[0]
-    except RuntimeError as exc:  # accelerator tunnel down: record honestly
-        print(f"bench: TPU backend unavailable ({str(exc)[:120]}); "
+    # a DOWN tunnel can make jax.devices() HANG (not raise) — probe it in
+    # a watchdog thread so the bench still records a CPU row instead of
+    # producing no artifact at all
+    import threading
+
+    probe: dict = {}
+
+    def _probe():
+        try:
+            probe["devices"] = jax.devices()
+        except RuntimeError as exc:
+            probe["error"] = exc
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=180.0)
+    if "devices" in probe:
+        device = probe["devices"][0]
+    else:
+        reason = (str(probe.get("error", "backend init timed out"))[:120])
+        print(f"bench: TPU backend unavailable ({reason}); "
               "falling back to CPU", file=sys.stderr, flush=True)
+        import os
+
+        if os.environ.get("VW_BENCH_CPU_FALLBACK") != "1":
+            # the stuck plugin holds JAX's backend-init lock, so an
+            # in-process platform switch hangs too — re-exec WITHOUT the
+            # axon env (the site hook then never registers the plugin)
+            env = {
+                k: v for k, v in os.environ.items()
+                if not k.startswith("PALLAS_AXON")
+            }
+            env["VW_BENCH_CPU_FALLBACK"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            os.execve(
+                sys.executable,
+                [sys.executable, os.path.abspath(__file__)],
+                env,
+            )
         jax.config.update("jax_platforms", "cpu")
         device = jax.devices()[0]
     on_tpu = device.platform != "cpu"
