@@ -72,7 +72,7 @@ def main() -> None:
         r = vw.wavelet_variance(z, "db4", 6)
         return z + 1e-20 * r.variance.sum()
 
-    out["wavelet_variance_1M_6lvl_ms"] = round(_measure(var_chain, x2, iters=30), 3)
+    out["wavelet_variance_1M_6lvl_ms"] = round(_measure(var_chain, x2, iters=100), 3)
 
     # 3. coherence, 32 scales x 32768
     n3 = 32768
@@ -84,7 +84,7 @@ def main() -> None:
         c = vw.wavelet_coherence(z, y3, scales, "morl")
         return z + 1e-20 * c.coherence.mean(axis=-2)
 
-    out["coherence_32sc_32768_ms"] = round(_measure(coh_chain, x3, iters=20), 3)
+    out["coherence_32sc_32768_ms"] = round(_measure(coh_chain, x3, iters=100), 3)
 
     # 4. Viterbi ridge on a 32 x 65536 scalogram (carry the real magnitude —
     # complex buffers cannot cross the axon host boundary, and ridge
@@ -98,7 +98,7 @@ def main() -> None:
         ridge = vw.extract_ridge(vw.CWTResult(p, scales, "zero"), smoothness=2.0)
         return p + (1e-20 * ridge.amplitude)[..., None, :]
 
-    out["ridge_32sc_65536_ms"] = round(_measure(ridge_chain, mag4, iters=20), 3)
+    out["ridge_32sc_65536_ms"] = round(_measure(ridge_chain, mag4, iters=100), 3)
 
     from _beyond_common import merge_rows
 

@@ -73,7 +73,7 @@ def main() -> None:
 
     # 2. DTCWT 2-D roundtrip, 512 x 512, 4 levels
     x2 = jnp.asarray(rng.standard_normal((512, 512)), jnp.float32)
-    t = _measure(lambda z: vw.idtcwt2(vw.dtcwt2(z, levels=4)), x2, iters=20)
+    t = _measure(lambda z: vw.idtcwt2(vw.dtcwt2(z, levels=4)), x2, iters=100)
     out["dtcwt2_roundtrip_512x512_ms"] = round(t, 3)
 
     # 2b. 2-D MODWT roundtrip, 8 x 2048 x 2048 db4 J=4 (true 2-D Pallas
@@ -85,7 +85,7 @@ def main() -> None:
         res = vw.modwt2_multilevel(z, "db4", levels=4)
         return vw.imodwt2_multilevel(res, "db4")
 
-    t = _measure(m2rt, x2b, iters=10)
+    t = _measure(m2rt, x2b, iters=30)
     out["modwt2_roundtrip_8x2048_ms"] = round(t, 3)
 
     # 2c. deep-span + full-pipeline rows on the same images: db4 J=6
@@ -102,7 +102,7 @@ def main() -> None:
         return vw.denoise2(z, "db4", levels=4, method="universal",
                            mode="soft")
 
-    t = _measure(dn2, x2b, iters=10)
+    t = _measure(dn2, x2b, iters=30)
     out["denoise2_8x2048_ms"] = round(t, 3)
 
     # 3. cwt2 bank, 256 x 256, 8 scales x 8 angles (complex stays on device)
@@ -114,14 +114,14 @@ def main() -> None:
         r = vw.cwt2(z, sc2, "morl2", angles=angles)
         return z + 1e-20 * jnp.abs(r.coeffs).sum(axis=(-4, -3))
 
-    out["cwt2_8x8_256x256_ms"] = round(_measure(cwt2_chain, x3, iters=20), 3)
+    out["cwt2_8x8_256x256_ms"] = round(_measure(cwt2_chain, x3, iters=100), 3)
 
     # 4. scattering1d, 8 x 16384, J=6 Q=8 order-2
     def scat1_chain(z):
         r = vw.scattering1d(z, J=6, Q=8)
         return z + 1e-20 * r.feature_vector().sum(axis=-1, keepdims=True)
 
-    out["scattering1d_8x16384_ms"] = round(_measure(scat1_chain, x1, iters=20), 3)
+    out["scattering1d_8x16384_ms"] = round(_measure(scat1_chain, x1, iters=100), 3)
 
     # 5. scattering2d, 128 x 128, J=3 L=6 order-2
     x5 = jnp.asarray(rng.standard_normal((128, 128)), jnp.float32)
@@ -130,7 +130,7 @@ def main() -> None:
         r = vw.scattering2d(z, J=3, L=6)
         return z + 1e-20 * r.feature_vector().sum(axis=-1, keepdims=True)[..., None]
 
-    out["scattering2d_128x128_ms"] = round(_measure(scat2_chain, x5, iters=20), 3)
+    out["scattering2d_128x128_ms"] = round(_measure(scat2_chain, x5, iters=100), 3)
 
     # 6. EWT roundtrip, 16384 samples, 4 bands (boundaries fixed / static)
     x6 = jnp.asarray(rng.standard_normal(16384), jnp.float32)
@@ -145,7 +145,7 @@ def main() -> None:
         r = vw.synchrosqueeze(z, scales, "morl")
         return z + 1e-20 * jnp.abs(r.coeffs).sum(axis=-2)
 
-    out["sst_32sc_16384_ms"] = round(_measure(sst_chain, x6, iters=20), 3)
+    out["sst_32sc_16384_ms"] = round(_measure(sst_chain, x6, iters=100), 3)
 
     # 8. multifractal spectrum, 1M samples
     x8 = jnp.asarray(rng.standard_normal(1 << 20), jnp.float32)
@@ -154,7 +154,7 @@ def main() -> None:
         r = vw.multifractal_spectrum(z, "db3")
         return z + 1e-20 * r.zeta.sum()
 
-    out["multifractal_1M_ms"] = round(_measure(mf_chain, x8, iters=10), 3)
+    out["multifractal_1M_ms"] = round(_measure(mf_chain, x8, iters=30), 3)
 
     # 9. inpaint 512 samples, 40% missing, 200 FISTA iterations (one solve)
     mask = jnp.asarray(rng.random(512) > 0.4, jnp.float32)
