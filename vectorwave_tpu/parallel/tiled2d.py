@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import ErrorCode, InvalidArgumentError
-from ..ops.convolve import atrous_analysis_pair, atrous_convolve
+from ..ops.convolve import atrous_analysis_pair
 from ..transforms.modwt import _resolve_discrete
 from ..transforms.twodim import MultiLevelMODWT2Result, _check_2d, _inv_axis
 from ..transforms.multilevel import _check_level_fits

@@ -22,7 +22,6 @@ ops — no per-path Python loops at run time beyond path enumeration.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import numpy as np

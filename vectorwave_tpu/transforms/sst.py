@@ -30,7 +30,6 @@ import numpy as np
 
 from ..errors import ErrorCode, InvalidArgumentError
 from .cwt import (
-    CWTResult,
     _aggregate_response,
     _resolve_continuous,
     cwt,
