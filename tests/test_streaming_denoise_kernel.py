@@ -146,3 +146,35 @@ def test_kernel_streaming_denoiser_family_sweep(name, levels, nblk):
         )
         np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_j),
                                    atol=1e-4)
+
+
+def test_kernel_streaming_denoiser_scan_compatible():
+    """The step function threads through lax.scan (the serving pattern:
+    one compiled program over all blocks) with results identical to the
+    Python loop."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    blocks = jnp.asarray(rng.standard_normal((4, 2, 1024)), jnp.float32)
+    st0 = kernel_streaming_denoiser_init("db4", levels=3, batch_shape=(2,))
+
+    def step(st, blk):
+        st, out = streaming_denoise_block_kernel(
+            st, blk, "db4", levels=3, precision="float32", interpret=True
+        )
+        return st, out
+
+    st_scan, outs_scan = jax.lax.scan(step, st0, blocks)
+
+    st = st0
+    outs = []
+    for i in range(blocks.shape[0]):
+        st, o = step(st, blocks[i])
+        outs.append(o)
+    np.testing.assert_allclose(
+        np.asarray(outs_scan), np.asarray(jnp.stack(outs)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_scan.noise_window), np.asarray(st.noise_window),
+        atol=1e-6,
+    )
