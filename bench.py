@@ -25,7 +25,10 @@ iterations and under-reported throughput ~4x.)
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import jax
@@ -40,6 +43,114 @@ N = 65536
 BATCH = 128
 ITERS = 150
 ROUNDTRIP_BYTES_PER_SAMPLE = 68
+
+
+# Tunnel-acquisition retry schedule: (probe timeout s, sleep after failure s).
+# Worst case ~25.5 min of probing before any CPU fallback — sized to outlast
+# the 20+ min tunnel-down phases CLAUDE.md documents as transient.  One 180 s
+# probe forfeited the round-4 scoreboard to a 0.3 Ms/s CPU row (VERDICT r04).
+PROBE_SCHEDULE = [(120, 30), (180, 60), (240, 120), (300, 180), (300, 0)]
+
+
+def _probe_tunnel_subprocess(timeout_s: float) -> bool:
+    """Probe the TPU tunnel in a FRESH subprocess, killed on timeout.
+
+    A hung ``jax.devices()`` cannot be retried in-process — the stuck
+    plugin holds JAX's backend-init lock — so each retry must be a new
+    process.  The child inherits the PALLAS_AXON env and exits 0 only if
+    it sees a non-CPU device.
+    """
+    code = (
+        "import jax, sys\n"
+        "ds = jax.devices()\n"
+        "sys.exit(0 if ds and ds[0].platform != 'cpu' else 3)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _reexec(extra_env: dict, keep_axon: bool) -> None:
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if keep_axon or not k.startswith("PALLAS_AXON")
+    }
+    env.update(extra_env)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
+def _acquire_device():
+    """Return ``(device, degraded)``, retrying a down tunnel before CPU.
+
+    The driver's scoreboard is this script's one JSON line, so a transient
+    tunnel-congestion phase must not turn into a CPU row that reads as the
+    result: probe in fresh subprocesses with escalating waits (~25 min
+    total), and only then fall back — re-exec'd on CPU with
+    VW_BENCH_DEGRADED=1 so the JSON carries ``"degraded": true``.
+    """
+    if os.environ.get("VW_BENCH_CPU_FALLBACK") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        return jax.devices()[0], os.environ.get("VW_BENCH_DEGRADED") == "1"
+
+    schedule = PROBE_SCHEDULE
+    if os.environ.get("VW_BENCH_PROBE_BUDGET_S"):  # test hook
+        schedule = [(float(os.environ["VW_BENCH_PROBE_BUDGET_S"]), 0)]
+
+    for attempt, (probe_timeout, sleep_after) in enumerate(schedule, 1):
+        if _probe_tunnel_subprocess(probe_timeout):
+            # Tunnel verified up by a fresh process; init in-process under
+            # a watchdog (it could still drop between probe and init).
+            probe: dict = {}
+
+            def _init():
+                try:
+                    probe["devices"] = jax.devices()
+                except RuntimeError as exc:
+                    probe["error"] = exc
+
+            th = threading.Thread(target=_init, daemon=True)
+            th.start()
+            th.join(timeout=300.0)
+            if "devices" in probe and probe["devices"][0].platform != "cpu":
+                return probe["devices"][0], False
+            if not probe:
+                # In-process init hung AFTER a successful probe: the
+                # backend lock is now stuck for good in this process —
+                # re-exec fresh (keeping the axon env) and try again.
+                n = int(os.environ.get("VW_BENCH_REEXEC_COUNT", "0"))
+                if n < 2:
+                    print("bench: in-process TPU init hung after probe "
+                          "success; re-exec'ing fresh", file=sys.stderr,
+                          flush=True)
+                    _reexec({"VW_BENCH_REEXEC_COUNT": str(n + 1)},
+                            keep_axon=True)
+                break  # re-exec budget exhausted -> degraded fallback
+        print(f"bench: tunnel probe {attempt}/{len(schedule)} failed "
+              f"({probe_timeout:.0f}s timeout); sleeping {sleep_after}s",
+              file=sys.stderr, flush=True)
+        time.sleep(sleep_after)
+
+    print("bench: TPU tunnel unavailable after full retry budget; "
+          "falling back to CPU (DEGRADED row)", file=sys.stderr, flush=True)
+    # The stuck plugin may hold the backend-init lock, so an in-process
+    # platform switch can hang too — re-exec WITHOUT the axon env (the
+    # site hook then never registers the plugin).
+    _reexec(
+        {
+            "VW_BENCH_CPU_FALLBACK": "1",
+            "VW_BENCH_DEGRADED": "1",
+            "JAX_PLATFORMS": "cpu",
+        },
+        keep_axon=False,
+    )
 
 
 def _measure(fn, x, iters=ITERS, reps=3):
@@ -63,47 +174,10 @@ def main() -> None:
 
     vw.enable_compilation_cache()
 
-    # a DOWN tunnel can make jax.devices() HANG (not raise) — probe it in
-    # a watchdog thread so the bench still records a CPU row instead of
-    # producing no artifact at all
-    import threading
-
-    probe: dict = {}
-
-    def _probe():
-        try:
-            probe["devices"] = jax.devices()
-        except RuntimeError as exc:
-            probe["error"] = exc
-
-    th = threading.Thread(target=_probe, daemon=True)
-    th.start()
-    th.join(timeout=180.0)
-    if "devices" in probe:
-        device = probe["devices"][0]
-    else:
-        reason = (str(probe.get("error", "backend init timed out"))[:120])
-        print(f"bench: TPU backend unavailable ({reason}); "
-              "falling back to CPU", file=sys.stderr, flush=True)
-        import os
-
-        if os.environ.get("VW_BENCH_CPU_FALLBACK") != "1":
-            # the stuck plugin holds JAX's backend-init lock, so an
-            # in-process platform switch hangs too — re-exec WITHOUT the
-            # axon env (the site hook then never registers the plugin)
-            env = {
-                k: v for k, v in os.environ.items()
-                if not k.startswith("PALLAS_AXON")
-            }
-            env["VW_BENCH_CPU_FALLBACK"] = "1"
-            env["JAX_PLATFORMS"] = "cpu"
-            os.execve(
-                sys.executable,
-                [sys.executable, os.path.abspath(__file__)],
-                env,
-            )
-        jax.config.update("jax_platforms", "cpu")
-        device = jax.devices()[0]
+    # a DOWN tunnel can make jax.devices() HANG (not raise) — acquire the
+    # chip via subprocess probes with a ~25 min retry budget; any CPU
+    # fallback row is marked "degraded" so it can never read as a result
+    device, degraded = _acquire_device()
     on_tpu = device.platform != "cpu"
     dtype = jnp.float32 if on_tpu else jnp.float64
     if not on_tpu:
@@ -328,12 +402,18 @@ def main() -> None:
         ),
         **extras,
     }
+    if not on_tpu:
+        # A CPU row is NEVER a result at this metric (the baseline is a
+        # 24-core AVX-512 CPU; this host is 4 cores) — mark it so the
+        # scoreboard can discount it (VERDICT r04 "what's missing" #1).
+        result["degraded"] = True
+        result["reason"] = (
+            "tpu_tunnel_unavailable" if degraded else "cpu_requested"
+        )
     print(json.dumps(result))
     if on_tpu:
         # persist for doc generation: bench_full.py renders PERF.md's
         # roofline section from this artifact (committed per round)
-        import os
-
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LATEST.json"), "w") as f:
             json.dump(result, f, indent=1)

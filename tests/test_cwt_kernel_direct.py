@@ -66,6 +66,51 @@ def test_hybrid_split_mixed_scales(pallas_f32):
     )
 
 
+def test_batched_rows_chunk_under_bank_budget(pallas_f32, monkeypatch):
+    """A batched CWT whose rows*n exceeds the per-call bank budget must
+    row-chunk (2^21-sample bank calls HTTP-500 the remote compiler) and
+    still match the FFT path bit-for-policy."""
+    from vectorwave_tpu.transforms import packets
+
+    calls = []
+    real_core = packets._bank_ana_core
+
+    def spy_core(flat, dense, periodic, precision, interpret):
+        calls.append(flat.shape)
+        return real_core(flat, dense, periodic, precision, interpret)
+
+    monkeypatch.setattr(packets, "_BANK_CALL_BUDGET", 8192)
+    monkeypatch.setattr(packets, "_bank_ana_core", spy_core)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 8192)), jnp.float32)
+    scales = (4.0, 16.0)
+    got = vw.cwt(x, scales, "morl", boundary="periodic")
+    assert calls and all(s[0] * s[1] <= 8192 for s in calls)
+    vw.set_backend("jnp")
+    ref = vw.cwt(x, scales, "morl", boundary="periodic")
+    vw.set_backend("pallas")
+    scale_mag = np.abs(np.asarray(ref.coeffs)).max()
+    np.testing.assert_allclose(
+        np.asarray(got.coeffs), np.asarray(ref.coeffs),
+        atol=2e-5 * scale_mag,
+    )
+
+
+def test_single_row_over_budget_stands_down(pallas_f32, monkeypatch):
+    """One signal longer than the bank budget cannot be row-chunked — the
+    tier must return 0 and leave everything on the FFT path."""
+    from vectorwave_tpu.transforms import packets
+    from vectorwave_tpu.transforms.cwt import (
+        _kernel_direct_split,
+        _resolve_continuous,
+    )
+
+    monkeypatch.setattr(packets, "_BANK_CALL_BUDGET", 8192)
+    w = _resolve_continuous("morl")
+    x = jnp.zeros((16384,), jnp.float32)
+    assert _kernel_direct_split(x, w, (4.0, 16.0), "periodic", jnp.float32) == 0
+
+
 def test_unsorted_scales_keep_fft_path(pallas_f32):
     """A descending scale list cannot prefix-split — tier must stand down
     and results still match."""

@@ -74,6 +74,39 @@ def test_tiled_exact_zero_boundary(signal_mesh):
         np.testing.assert_allclose(got, np.asarray(want), atol=1e-11)
 
 
+def test_tiled_exact_multi_wrap_periodic(signal_mesh):
+    """Composite span >= global length: the periodic extension wraps more
+    than once, which a single halo slab cannot express — the tier must
+    take the all_gather path and still match the f64 oracle (a truncated
+    halo silently diverges here; ADVICE r04)."""
+    from vectorwave_tpu.kernels.modwt_mxu import _composite_halo_rows
+
+    levels = 6
+    n = 1024  # db8 span = _composite_halo_rows(16, 6)*128 = 1024 >= n
+    assert _composite_halo_rows(16, levels) * 128 >= n
+    rng = np.random.default_rng(4)
+    x32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    details, approx = modwt_multilevel_tiled_exact(
+        x32, "db8", levels=levels, mesh=signal_mesh, interpret=True,
+    )
+    x64 = jnp.asarray(np.asarray(x32, np.float64))
+    ref = vw.modwt_multilevel(x64, "db8", levels=levels,
+                              boundary="periodic", backend="jnp")
+    for (h, l), want in zip(
+        tuple(details) + (approx,), ref.details + (ref.approx,)
+    ):
+        got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-11)
+    hi, lo = imodwt_multilevel_tiled_exact(
+        details, approx, "db8", mesh=signal_mesh, interpret=True,
+    )
+    err = (
+        np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        - np.asarray(x32, np.float64)
+    )
+    assert float(np.sqrt(np.mean(err**2))) <= 1e-10
+
+
 def test_exact_symmetric_analysis_matches_f64():
     """Per-level mirrored exact cascade == f64 jnp symmetric analysis."""
     rng = np.random.default_rng(3)

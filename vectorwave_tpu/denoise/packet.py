@@ -45,7 +45,11 @@ from ..transforms.packets2d import (
 
 __all__ = ["denoise_packet", "denoise_packet2"]
 
-_jit_cache: dict = {}
+from .._jitcache import BoundedCache
+
+# bounded: long-lived serving processes feeding many distinct shapes must
+# not leak one compiled program per shape (ADVICE r04)
+_jit_cache: BoundedCache = BoundedCache(128)
 
 
 def _noise_floor_sigma(tree) -> jnp.ndarray:

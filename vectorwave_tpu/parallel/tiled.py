@@ -583,7 +583,30 @@ def modwt_multilevel_tiled_exact(
         lead = x_local.shape[:-1]
         n_loc = x_local.shape[-1]
         x2 = x_local.reshape((-1, n_loc))
-        eff_span = min(span, n_loc * mesh.shape[axis])
+        n_glob = n_loc * mesh.shape[axis]
+        if wrap and span >= n_glob:
+            # periodic composite span >= global length: the extension
+            # wraps MORE than once, which the single halo slab cannot
+            # express — all_gather and run the single-device exact
+            # transform (cheap by definition in that regime; mirrors
+            # tiled2d's multi-wrap path)
+            idx = jax.lax.axis_index(axis)
+            full = jax.lax.all_gather(x2, axis, axis=-1, tiled=True)
+            pairs = analysis_exact(
+                full, levels, filters, True, interpret=interpret,
+            )
+            start = idx * n_loc
+
+            def sl(v):
+                return jax.lax.dynamic_slice_in_dim(v, start, n_loc, axis=-1)
+
+            out = tuple(
+                (sl(h).reshape(lead + (n_loc,)),
+                 sl(l).reshape(lead + (n_loc,)))
+                for h, l in pairs
+            )
+            return out[:levels], out[levels]
+        eff_span = min(span, n_glob)
         if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
             rows = x2.reshape(-1, n_loc // 128, 128)
             send = rows[:, -(eff_span // 128):, :].reshape(-1, eff_span)
@@ -650,7 +673,25 @@ def imodwt_multilevel_tiled_exact(
         p2 = tuple(
             (h.reshape((-1, n_loc)), l.reshape((-1, n_loc))) for h, l in pairs
         )
-        eff_span = min(span, n_loc * mesh.shape[axis])
+        n_glob = n_loc * mesh.shape[axis]
+        if wrap and span >= n_glob:
+            # multi-wrap periodic extension — all_gather every plane pair
+            # and run the single-device exact synthesis (see the analysis
+            # counterpart above)
+            idx = jax.lax.axis_index(axis)
+            full_pairs = tuple(
+                (jax.lax.all_gather(h, axis, axis=-1, tiled=True),
+                 jax.lax.all_gather(l, axis, axis=-1, tiled=True))
+                for h, l in p2
+            )
+            hi_f, lo_f = synthesis_exact(
+                full_pairs, levels, filters, True, interpret=interpret,
+            )
+            start = idx * n_loc
+            hi = jax.lax.dynamic_slice_in_dim(hi_f, start, n_loc, axis=-1)
+            lo = jax.lax.dynamic_slice_in_dim(lo_f, start, n_loc, axis=-1)
+            return hi.reshape(lead + (n_loc,)), lo.reshape(lead + (n_loc,))
+        eff_span = min(span, n_glob)
         flat_planes = [p for pair in p2 for p in pair]
         if eff_span <= n_loc and n_loc % 128 == 0 and eff_span % 128 == 0:
             hr = eff_span // 128

@@ -361,6 +361,13 @@ class StreamingDenoiser:
             self._use_kernel = pallas_available() and kernel_ok
         else:
             self._use_kernel = backend == "pallas"
+        #: the RESOLVED backend ('pallas' or 'jnp').  Under 'auto' this
+        #: differs per environment, and so does the state pytree layout
+        #: (KernelStreamingDenoiserState raw-input tail vs per-level
+        #: StreamingDenoiserState) — checkpoints only restore onto an
+        #: instance resolved to the same backend; pass it explicitly when
+        #: moving a checkpoint between TPU and CPU (ADVICE r04).
+        self.backend = "pallas" if self._use_kernel else "jnp"
         self.samples_processed = 0
         self.blocks_processed = 0
 
@@ -402,6 +409,34 @@ class StreamingDenoiser:
         # jit the whole per-block update: one fused device step per block
         # (compiled once per distinct block shape)
         self._step = jax.jit(_step)
+
+    @property
+    def state(self):
+        """The streaming state pytree (checkpoint/restore surface)."""
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        expected = (
+            KernelStreamingDenoiserState
+            if self._use_kernel
+            else StreamingDenoiserState
+        )
+        if not isinstance(value, expected):
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                f"State layout {type(value).__name__} does not match this "
+                f"denoiser's resolved backend {self.backend!r} (expected "
+                f"{expected.__name__}). Checkpoints written under "
+                "backend='auto' carry the layout of the environment that "
+                "wrote them.",
+                suggestions=(
+                    "Construct StreamingDenoiser(backend="
+                    f"{'jnp' if self._use_kernel else 'pallas'!r}) to match "
+                    "the checkpoint, or re-init and replay.",
+                ),
+            )
+        self._state = value
 
     def denoise(self, samples) -> jnp.ndarray:
         self.state, out = self._step(

@@ -333,8 +333,14 @@ def _kernel_direct_split(x, w, scales, boundary, real_dtype) -> int:
         return 0
     if boundary != "periodic" or real_dtype != jnp.float32:
         return 0
+    from .packets import _BANK_CALL_BUDGET
+
     n = x.shape[-1]
     if n % 128 != 0 or n < 4 * _KERNEL_DIRECT_MAX_HALF:
+        return 0
+    if n > _BANK_CALL_BUDGET:
+        # a single row already exceeds the per-call sample budget (2^21
+        # HTTP-500s the remote compiler) and rows cannot be split further
         return 0
     if list(scales) != sorted(scales):
         return 0
@@ -359,7 +365,7 @@ def _cwt_kernel_direct(x, w, scales_sub, real_dtype):
     """
     from ..config import get_fused_precision
     from ..kernels.modwt_pallas import pallas_available
-    from .packets import _bank_ana_core
+    from .packets import _bank_ana_chunked
 
     lead = x.shape[:-1]
     n = x.shape[-1]
@@ -391,7 +397,9 @@ def _cwt_kernel_direct(x, w, scales_sub, real_dtype):
                 np.asarray(w.psi(k[mask] / s)).real / math.sqrt(s)
             )
             dense.append(tuple(c.tolist()))
-        outs = _bank_ana_core(
+        # row-chunked: a batched CWT (rows*n > 2^20) must not exceed the
+        # per-call bank budget the packet/DTCWT tiers already honor
+        outs = _bank_ana_chunked(
             x2, tuple(dense), True, prec, interpret
         )
         for slot, i in enumerate(chunk):

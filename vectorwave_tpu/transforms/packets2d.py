@@ -305,7 +305,11 @@ def reconstruct_basis2(
 # Fused best-basis denoise: ONE device program (on-device DP)
 # ---------------------------------------------------------------------------
 
-_jit_cache: dict = {}
+from .._jitcache import BoundedCache
+
+# bounded: long-lived serving processes feeding many distinct shapes must
+# not leak one compiled program per shape (ADVICE r04)
+_jit_cache: BoundedCache = BoundedCache(128)
 
 
 def _node_costs(lvl: jnp.ndarray, cost: str, threshold, root_energy,
