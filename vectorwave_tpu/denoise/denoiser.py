@@ -93,6 +93,8 @@ def denoise_multilevel(
     method: str = "universal",
     mode: str = "soft",
     boundary: str = "periodic",
+    tolerance: float | None = None,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Multi-level denoise with level-dependent thresholds
     (``denoiseMultiLevel`` :155-171).
@@ -104,17 +106,34 @@ def denoise_multilevel(
     comes from the exact MAD of the finest detail via a cheap single-level
     analysis.  Data-dependent rules (SURE/Bayes) and gradients take the
     materializing path.
+
+    ``tolerance=``/``precision=`` route the compute tier like
+    :func:`~..transforms.multilevel.modwt_multilevel`.  The output is an
+    f32 signal, so tolerances below the f32 representation floor (~1e-7
+    relative) are served by the float32 tier — the closest achievable on
+    this surface; the true exact (<=1e-10) contract lives on the
+    round-trip/coefficient surfaces, which return double-float planes.
     """
-    fused = _try_fused_denoise(x, wavelet, levels, method, mode, boundary)
+    from ..transforms.multilevel import _resolve_tier
+
+    tier = _resolve_tier(tolerance, precision)
+    if tier == "exact":
+        tier = "float32"  # f32 output floor; see docstring
+    fused = _try_fused_denoise(
+        x, wavelet, levels, method, mode, boundary, precision=tier
+    )
     if fused is not None:
         return fused
-    res = modwt_multilevel(x, wavelet, levels=levels, boundary=boundary)
+    res = modwt_multilevel(x, wavelet, levels=levels, boundary=boundary,
+                           precision=tier)
     sigma = mad_sigma(res.details[0])  # finest scale estimates the noise floor
     denoised = threshold_coeffs(res, sigma, method=method, mode=mode)
-    return imodwt_multilevel(denoised, wavelet, boundary=boundary)
+    return imodwt_multilevel(denoised, wavelet, boundary=boundary,
+                             precision=tier)
 
 
-def _try_fused_denoise(x, wavelet, levels, method, mode, boundary):
+def _try_fused_denoise(x, wavelet, levels, method, mode, boundary,
+                       precision=None):
     """Route sigma-only denoise rules through the one-pass fused kernel
     (kernels/modwt_mxu.run_denoise_composite); None = take the 3-call path."""
     from ..ops.thresholds import minimax_threshold, universal_threshold
@@ -149,7 +168,8 @@ def _try_fused_denoise(x, wavelet, levels, method, mode, boundary):
         axis=-1,
     )  # [..., levels]
     return fused_denoise_multilevel(
-        x, w, levels=levels, thresholds=ths, boundary=boundary, mode=mode
+        x, w, levels=levels, thresholds=ths, boundary=boundary, mode=mode,
+        precision=precision,
     )
 
 

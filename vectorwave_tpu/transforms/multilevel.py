@@ -74,6 +74,77 @@ class MultiLevelMODWTResult(NamedTuple):
         return stacked / stacked.sum(axis=-1, keepdims=True)
 
 
+class ExactMODWTResult(NamedTuple):
+    """Exact-tier multi-level result: every plane is a double-float pair.
+
+    ``details``/``approx`` are the f32 leading words — drop-in compatible
+    with :class:`MultiLevelMODWTResult` consumers; ``details_lo``/
+    ``approx_lo`` carry the trailing words (~48 effective mantissa bits
+    combined).  Combine ``hi + lo`` in f64 on the host for a
+    full-precision reading; feed the whole result back to
+    :func:`imodwt_multilevel` for the <=1e-10 round trip (the reference's
+    default-path accuracy contract, ModwtPeriodicRoundTripTest.java:37).
+    """
+
+    details: tuple[jnp.ndarray, ...]
+    approx: jnp.ndarray
+    details_lo: tuple[jnp.ndarray, ...]
+    approx_lo: jnp.ndarray
+
+    @property
+    def levels(self) -> int:
+        return len(self.details)
+
+    @property
+    def signal_length(self) -> int:
+        return self.approx.shape[-1]
+
+
+#: Requested max |error| -> cheapest precision tier that meets it, with
+#: ~10x margin over the committed on-chip round-trip RMSEs
+#: (BENCH_LATEST.json: bf16 3.5e-3, bf16_3x 6.8e-6, float32 1.0e-7,
+#: exact 8.4e-14).  Thresholds are ladder boundaries, not error claims.
+_TOLERANCE_LADDER = ((3e-2, "bf16"), (1e-4, "bf16_3x"), (3e-6, "float32"))
+
+
+def resolve_tolerance(tolerance: float) -> str:
+    """Map a requested max error to a precision tier
+    (``bf16 | bf16_3x | float32 | exact``).
+
+    The reference's public API is f64 end-to-end and its default round
+    trip meets <1e-9 (ModwtPeriodicRoundTripTest.java:37); this ladder
+    makes that contract reachable from the default TPU API without
+    knowing the tier names: ``modwt_multilevel(x, w, tolerance=1e-10)``
+    routes to the exact tier.
+    """
+    if not (tolerance > 0):
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"tolerance must be positive, got {tolerance}",
+        )
+    for bound, tier in _TOLERANCE_LADDER:
+        if tolerance >= bound:
+            return tier
+    return "exact"
+
+
+def _resolve_tier(tolerance, precision) -> str | None:
+    """Combine the ``tolerance=`` / ``precision=`` kwargs into a tier
+    (explicit ``precision`` wins; both None = config default)."""
+    if precision is not None:
+        valid = ("float32", "bf16_3x", "bf16", "exact")
+        if precision not in valid:
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                f"Unknown precision {precision!r}",
+                suggestions=(f"Use one of {valid}",),
+            )
+        return precision
+    if tolerance is not None:
+        return resolve_tolerance(tolerance)
+    return None
+
+
 def max_levels(signal_length: int, wavelet) -> int:
     """Maximum decomposition depth: largest J with ``(L0-1)*2^(J-1)+1 <= N``,
     capped at :data:`MAX_DECOMPOSITION_LEVELS`
@@ -176,6 +247,8 @@ def modwt_multilevel(
     levels: int | None = None,
     boundary: str = "periodic",
     backend: str | None = None,
+    tolerance: float | None = None,
+    precision: str | None = None,
 ) -> MultiLevelMODWTResult:
     """Multi-level MODWT decomposition (``decompose`` :209-254).
 
@@ -184,6 +257,14 @@ def modwt_multilevel(
     and periodic/zero boundaries, the whole cascade runs as one fused Pallas
     kernel (``backend='auto'``; pass ``backend='jnp'`` to force the portable
     path — the reference's forceScalar analogue).
+
+    ``tolerance=`` requests a max-error budget and auto-routes the
+    precision tier (:func:`resolve_tolerance`); ``precision=`` picks one
+    explicitly (``bf16 | bf16_3x | float32 | exact``).  The ``exact``
+    tier returns an :class:`ExactMODWTResult` (double-float planes) whose
+    round trip through :func:`imodwt_multilevel` stays <=1e-10 — the
+    reference's default-path contract (ModwtPeriodicRoundTripTest.java:37)
+    reachable without reading PERF.md.
     """
     w = _resolve_discrete(wavelet)
     _validate_signal(x)
@@ -198,6 +279,30 @@ def modwt_multilevel(
         )
     _check_level_fits(w, levels, n)
 
+    tier = _resolve_tier(tolerance, precision)
+    if tier == "exact" and x.dtype == jnp.float64:
+        tier = None  # the f64 jnp path is already exact-grade
+    if tier == "exact":
+        from ..kernels.modwt_exact import modwt_multilevel_exact
+        from ..kernels.modwt_pallas import pallas_available
+
+        batch_shape = x.shape[:-1]
+        flat = x.reshape((-1, n)) if x.ndim > 2 else x
+        dpairs, apair = modwt_multilevel_exact(
+            flat.astype(jnp.float32), w, levels=levels, boundary=boundary,
+            interpret=not pallas_available(),
+        )
+        if x.ndim > 2:
+            dpairs = tuple(
+                (h.reshape(batch_shape + (n,)), l.reshape(batch_shape + (n,)))
+                for h, l in dpairs
+            )
+            apair = tuple(p.reshape(batch_shape + (n,)) for p in apair)
+        return ExactMODWTResult(
+            tuple(h for h, _ in dpairs), apair[0],
+            tuple(l for _, l in dpairs), apair[1],
+        )
+
     use_pallas = _resolve_backend(
         backend, lambda: _pallas_eligible(x, w, levels, boundary)
     )
@@ -206,7 +311,9 @@ def modwt_multilevel(
 
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, n)) if x.ndim != 1 else x
-        details, approx = fused_analysis(flat, w, levels=levels, boundary=boundary)
+        details, approx = fused_analysis(
+            flat, w, levels=levels, boundary=boundary, precision=tier
+        )
         if x.ndim > 2:
             details = tuple(d.reshape(batch_shape + (n,)) for d in details)
             approx = approx.reshape(batch_shape + (n,))
@@ -333,13 +440,67 @@ def imodwt_multilevel(
     *,
     boundary: str = "periodic",
     backend: str | None = None,
+    tolerance: float | None = None,
+    precision: str | None = None,
 ) -> jnp.ndarray:
     """Multi-level MODWT reconstruction, coarsest to finest
     (``reconstruct`` :339-349 + ``applyScaledInverseMODWT`` :554-645).
     Routes through the fused Pallas synthesis kernel on TPU like
     :func:`modwt_multilevel`.
+
+    An :class:`ExactMODWTResult` (from ``tolerance=``/``precision='exact'``
+    analysis) routes through the exact synthesis kernels; the returned f32
+    signal is the correctly rounded double-float reconstruction, so the
+    round trip against an f32 input is <=1e-10 (typically bit-exact).
     """
     w = _resolve_discrete(wavelet)
+    tier = _resolve_tier(tolerance, precision)
+    if isinstance(result, ExactMODWTResult):
+        from ..kernels.modwt_exact import imodwt_multilevel_exact
+        from ..kernels.modwt_pallas import pallas_available
+
+        if boundary.lower().startswith("sym"):
+            raise InvalidArgumentError(
+                ErrorCode.CFG_UNSUPPORTED_BOUNDARY,
+                "The exact tier has no symmetric inverse: the "
+                "alignment-shifted symmetric inverse is a boundary "
+                "approximation by design (docs/API.md, "
+                "MultiLevelMODWTTransform.java:602-642)",
+                suggestions=("Use periodic/zero boundaries for the exact "
+                             "round trip, or the default tiers for a "
+                             "symmetric inverse",),
+            )
+        n = result.approx.shape[-1]
+        batch_shape = result.approx.shape[:-1]
+        flatten = result.approx.ndim > 2
+
+        def _flat(p):
+            return p.reshape((-1, n)) if flatten else p
+
+        dpairs = tuple(
+            (_flat(h), _flat(l))
+            for h, l in zip(result.details, result.details_lo)
+        )
+        apair = (_flat(result.approx), _flat(result.approx_lo))
+        hi, _lo = imodwt_multilevel_exact(
+            dpairs, apair, w, boundary=boundary,
+            interpret=not pallas_available(),
+        )
+        # double-float invariant: hi == fl(hi + lo) — hi IS the correctly
+        # rounded f32 reconstruction; lo carries the ~1e-13 residual
+        return hi.reshape(batch_shape + (n,)) if flatten else hi
+    if tier == "exact":
+        if result.approx.dtype == jnp.float64:
+            tier = None  # f64 jnp path below is exact-grade
+        else:
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                "tolerance/precision requests the exact tier, but this "
+                "result carries plain f32 planes (the analysis already "
+                "rounded them)",
+                suggestions=("Run modwt_multilevel with the same tolerance=/"
+                             "precision= so it returns an ExactMODWTResult",),
+            )
     use_pallas = _resolve_backend(
         backend,
         lambda: _pallas_eligible(
@@ -358,7 +519,9 @@ def imodwt_multilevel(
             approx = result.approx.reshape((-1, n))
         else:
             details, approx = result.details, result.approx
-        out = fused_synthesis(details, approx, w, boundary=boundary)
+        out = fused_synthesis(
+            details, approx, w, boundary=boundary, precision=tier
+        )
         if result.approx.ndim > 2:
             out = out.reshape(batch_shape + (n,))
         return out
