@@ -29,10 +29,16 @@ def test_exact_roundtrip_below_1e10(wavelet, levels):
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 1024)), dtype=jnp.float32)
     x64 = np.asarray(x, np.float64)
+    # balanced (default) profile: 19 pairs, measured ~4e-12 (gate 1e-10)
     hi, lo = modwt_roundtrip_exact(x, wavelet, levels=levels, interpret=True)
     err = _combine((hi, lo)) - x64
     rmse = float(np.sqrt(np.mean(err**2)))
-    assert rmse < 1e-12, rmse  # gate is 1e-10; the kernels sit near 1e-13
+    assert rmse < 1e-11, rmse
+    # full profile: all-exact chains sit near 1e-13
+    hi, lo = modwt_roundtrip_exact(x, wavelet, levels=levels, interpret=True,
+                                   profile="full")
+    err = _combine((hi, lo)) - x64
+    assert float(np.sqrt(np.mean(err**2))) < 1e-12
 
 
 def test_exact_analysis_matches_f64_cascade():

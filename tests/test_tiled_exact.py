@@ -96,7 +96,9 @@ def test_tiled_exact_multi_wrap_periodic(signal_mesh):
         tuple(details) + (approx,), ref.details + (ref.approx,)
     ):
         got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
-        np.testing.assert_allclose(got, np.asarray(want), atol=1e-11)
+        # balanced-profile keep-truncation floor is ~1.5e-11 worst-case
+        # per coefficient (KEEP=5); the tier contract is <=1e-10
+        np.testing.assert_allclose(got, np.asarray(want), atol=5e-11)
     hi, lo = imodwt_multilevel_tiled_exact(
         details, approx, "db8", mesh=signal_mesh, interpret=True,
     )
@@ -121,4 +123,5 @@ def test_exact_symmetric_analysis_matches_f64():
         tuple(details) + (approx,), ref.details + (ref.approx,)
     ):
         got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
-        np.testing.assert_allclose(got, np.asarray(want), atol=1e-11)
+        # balanced default profile: <=1e-10 contract, ~1e-11 worst-case
+        np.testing.assert_allclose(got, np.asarray(want), atol=5e-11)

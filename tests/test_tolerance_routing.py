@@ -37,7 +37,9 @@ def test_tolerance_1e10_roundtrip_meets_contract():
         ref.details + (ref.approx,),
     ):
         got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
-        np.testing.assert_allclose(got, np.asarray(want), atol=1e-11)
+        # balanced-profile keep-truncation floor ~2e-11 worst per
+        # coefficient; tolerance<=1e-11 escalates to the full profile
+        np.testing.assert_allclose(got, np.asarray(want), atol=5e-11)
     xr = vw.imodwt_multilevel(res, "db4")
     assert xr.dtype == jnp.float32
     err = np.asarray(xr, np.float64) - np.asarray(x, np.float64)
@@ -105,3 +107,20 @@ def test_denoise_tolerance_clamps_to_f32_floor():
     out = vw.denoise_multilevel(x, "db4", levels=4, tolerance=1e-10)
     ref = vw.denoise_multilevel(x, "db4", levels=4, precision="float32")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)
+
+
+def test_tolerance_below_1e11_escalates_to_full_profile():
+    """tolerance<=1e-11 runs the full (~1e-13) slice geometry — the
+    coefficient parity then sits at the double-float floor."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 2048)), jnp.float32)
+    res = vw.modwt_multilevel(x, "db4", levels=4, tolerance=1e-12)
+    x64 = jnp.asarray(np.asarray(x, np.float64))
+    ref = vw.modwt_multilevel(x64, "db4", levels=4, backend="jnp")
+    for h, l, want in zip(
+        res.details + (res.approx,),
+        res.details_lo + (res.approx_lo,),
+        ref.details + (ref.approx,),
+    ):
+        got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-12)

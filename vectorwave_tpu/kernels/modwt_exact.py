@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,55 @@ KX_SINGLE = 6  # slices for an exact-f32 input (small-magnitude elements
 # floor at 2^(E-49))
 KM = 6  # slices for the f64 constants
 KEEP = 6  # keep (i, j) with i + j < KEEP
+
+
+class ExactProfile(NamedTuple):
+    """Slice geometry + combine policy for the exact kernels.
+
+    ``kx``/``km``: input/constant slice counts; ``keep``: keep slice
+    pairs with ``i + j < keep`` (each dropped pair < 2^(-8*keep)
+    relative); ``exact_diagonals``: diagonals ``s <=`` this are combined
+    with exact two_sum chains, later ones accumulate in a plain-f32
+    per-diagonal bucket (adds round at <= 2^(-8s-24) relative — below
+    the keep-truncation floor for s >= 2); ``cheap_slices``: extract
+    slices with the 3-op big-constant trick and fold the double-float
+    low word ONCE before slice 3 (the dropped two_sum residual is
+    < 2^-48 of scale).
+    """
+
+    kx: int
+    km: int
+    keep: int
+    exact_diagonals: int
+    cheap_slices: bool
+
+
+#: ``full``: the ~1e-13 worst-case geometry (21 pairs, all-exact VPU
+#: chains).  ``balanced``: the <=1e-10 CONTRACT tier — 19 pairs
+#: (kx=km=5 drops the two corner pairs of diagonal 5), bucketed combine,
+#: cheap slicing: measured round-trip RMSE 3-6e-12 / max ~2e-11 across
+#: db4/db8/sym8 at J=3-6 (16x margin to the gate); the VPU combine and
+#: slicing work drop ~2.5x/~3x (VERDICT r04 #3: the 21-pair all-exact
+#: budget was worst-case, not contract-driven).
+PROFILES: dict[str, ExactProfile] = {
+    "full": ExactProfile(6, 6, 6, 99, False),
+    "balanced": ExactProfile(5, 5, 6, 1, True),
+}
+
+
+def _resolve_profile(profile) -> ExactProfile:
+    if isinstance(profile, ExactProfile):
+        return profile
+    try:
+        return PROFILES[profile]
+    except KeyError:
+        from ..errors import ErrorCode, InvalidArgumentError
+
+        raise InvalidArgumentError(
+            ErrorCode.CFG_INVALID_CONFIG,
+            f"Unknown exact profile {profile!r}",
+            suggestions=(f"Use one of {tuple(PROFILES)}",),
+        ) from None
 
 
 def _slice_constant(m: np.ndarray, n_slices: int = KM) -> list[np.ndarray]:
@@ -92,19 +142,35 @@ def _df_add(hi, lo, term):
     return s, lo + e
 
 
-def _extract_slices(rh, rl, sigma0, n_slices):
+def _extract_slices(rh, rl, sigma0, n_slices, cheap: bool = False):
     """Fixed-point slices of the double-float (rh, rl) against the runtime
     power-of-two scale ``sigma0 = 2^(E+15)`` (|value| < 2^E): slice c is a
     multiple of 2^(E-8-8c), exact in bf16, returned in f32 (Mosaic has no
-    sub-32-bit sublane rotate, so slices shift in f32 and cast per dot)."""
+    sub-32-bit sublane rotate, so slices shift in f32 and cast per dot).
+
+    ``cheap``: fold ``rl`` once with a plain add before slice 3 instead of
+    a two_sum per slice (3 VPU ops per slice instead of ~9).  The fold
+    doubles the slice-3 residual bound to 2^(E-24) — 9 significant bits
+    at the worst-binade granularity 2^(E-33), which bf16 would ROUND — so
+    slice 3 extracts with a doubled big-constant (capacity 2^(E-24) at
+    granularity 2^(E-32): back to 8 bits, bf16-exact).  Numpy-simulated
+    worst-case residual: ~2^-41 of scale, below the balanced profile's
+    2^-40 keep floor.
+    """
     slices = []
     for c in range(n_slices):
+        fold = rl is not None and cheap and c == 3
+        if fold:
+            rh = rh + rl
+            rl = None
         sig = sigma0 * np.float32(2.0 ** (-8 * c))
+        if fold:
+            sig = sig * np.float32(2.0)
         t = rh + sig
         m = t - sig
         slices.append(m)
         rh = rh - m
-        if rl is not None:
+        if rl is not None and not cheap:
             rh, rl = _two_sum(rh, rl)
     return slices
 
@@ -117,18 +183,25 @@ def _shift_rows(flat, shift: int):
     return pltpu.roll(flat, shift, 0)
 
 
-def _dot_exact_pairs(x_slices, m_slice_refs, keep=KEEP):
+def _dot_exact_pairs(x_slices, m_slice_refs, keep=KEEP, exact_diagonals=99):
     """Sum of EXACT slice-pair dots combined into a double-float.
 
     x_slices: f32 slice arrays (shifted views); m_slice_refs: bf16 constant
     slice refs.  Pairs ordered by descending magnitude (i + j ascending) so
     the two_sum chain sees largest first.
+
+    Diagonals ``s > exact_diagonals`` accumulate in a plain-f32
+    per-diagonal bucket before ONE df_add: all terms on diagonal s share
+    the 2^-8s magnitude scale, so each in-bucket add rounds at
+    <= 2^(-8s-24) relative — below the 2^(-8*keep) truncation floor for
+    s >= 2 (the balanced profile sets ``exact_diagonals=1``).
     """
     dims = (((1,), (0,)), ((), ()))
     kw = {"preferred_element_type": jnp.float32}
     hi = None
     lo = None
     for s in range(keep):
+        bucket = None
         for i in range(min(s + 1, len(x_slices))):
             j = s - i
             if j >= len(m_slice_refs):
@@ -138,8 +211,12 @@ def _dot_exact_pairs(x_slices, m_slice_refs, keep=KEEP):
             )
             if hi is None:
                 hi, lo = term, jnp.zeros_like(term)
-            else:
+            elif s <= exact_diagonals:
                 hi, lo = _df_add(hi, lo, term)
+            else:
+                bucket = term if bucket is None else bucket + term
+        if bucket is not None:
+            hi, lo = _df_add(hi, lo, bucket)
     return hi, lo
 
 
@@ -159,7 +236,7 @@ def _sigma0_from(*arrays):
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "filters", "b_tile", "tile_rows", "halo_rows",
-                     "interpret", "has_lo"),
+                     "interpret", "has_lo", "profile"),
 )
 def _exact_analysis_call(
     x_hi: jnp.ndarray,  # [B, R_total, 128], left halo prepended
@@ -173,6 +250,7 @@ def _exact_analysis_call(
     halo_rows: int,
     interpret: bool,
     has_lo: bool,
+    profile: ExactProfile = PROFILES["full"],
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -183,17 +261,17 @@ def _exact_analysis_call(
     n_planes = len(planes)
     plane_bands = [_band_single(p, sign=-1) for p in planes]
     all_e = sorted({e for pb in plane_bands for e in pb}, reverse=True)
-    groups = []  # (shift, members, [KM slices of concat matrix])
+    groups = []  # (shift, members, [km slices of concat matrix])
     for e in all_e:
         members = [pi for pi in range(n_planes) if e in plane_bands[pi]]
         m_cat = np.concatenate([plane_bands[pi][e] for pi in members], axis=1)
-        groups.append((-e, members, _slice_constant(m_cat)))
+        groups.append((-e, members, _slice_constant(m_cat, profile.km)))
 
     b, r_total, _ = x_hi.shape
     r_out = r_total - halo_rows
     window_rows = tile_rows + halo_rows
     grid = (b // b_tile, r_out // tile_rows)
-    kx = KX_PAIR if has_lo else KX_SINGLE
+    kx = profile.kx
     group_consts = [
         jnp.asarray(sl, dtype=jnp.bfloat16) for _, _, sls in groups for sl in sls
     ]
@@ -224,7 +302,8 @@ def _exact_analysis_call(
         rl = (
             scratch[1].reshape(b_tile * window_rows, _LANES) if has_lo else None
         )
-        slices = _extract_slices(rh, rl, sigma0_k, kx)
+        slices = _extract_slices(rh, rl, sigma0_k, kx,
+                                 cheap=profile.cheap_slices)
         accs_hi = [None] * n_planes
         accs_lo = [None] * n_planes
         gi = 0
@@ -232,7 +311,10 @@ def _exact_analysis_call(
             views = [_shift_rows(s, shift) for s in slices]
             m_refs = g_refs[gi : gi + len(sls)]
             gi += len(sls)
-            out_hi, out_lo = _dot_exact_pairs(views, m_refs)
+            out_hi, out_lo = _dot_exact_pairs(
+                views, m_refs, keep=profile.keep,
+                exact_diagonals=profile.exact_diagonals,
+            )
             for slot, pi in enumerate(members):
                 ph = out_hi[:, slot * _LANES : (slot + 1) * _LANES]
                 plo = out_lo[:, slot * _LANES : (slot + 1) * _LANES]
@@ -272,7 +354,8 @@ def _exact_analysis_call(
     )
     n_blocks = sum(sls[0].shape[1] // _LANES for _, _, sls in groups)
     pairs = sum(
-        1 for s in range(KEEP) for i in range(min(s + 1, kx)) if s - i < KM
+        1 for s in range(profile.keep) for i in range(min(s + 1, kx))
+        if s - i < profile.km
     )
     outs = pl.pallas_call(
         kernel,
@@ -298,7 +381,7 @@ def _exact_analysis_call(
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "filters", "b_tile", "tile_rows", "halo_rows",
-                     "interpret"),
+                     "interpret", "profile"),
 )
 def _exact_synthesis_call(
     coeffs: tuple[jnp.ndarray, ...],  # 2*(levels+1) arrays (hi0, lo0, hi1, ...)
@@ -310,6 +393,7 @@ def _exact_synthesis_call(
     tile_rows: int,
     halo_rows: int,
     interpret: bool,
+    profile: ExactProfile = PROFILES["full"],
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -327,7 +411,7 @@ def _exact_synthesis_call(
     groups = []  # (shift, [(plane, [KM slices])])
     for e in all_e:
         members = [
-            (pi, _slice_constant(plane_bands[pi][e]))
+            (pi, _slice_constant(plane_bands[pi][e], profile.km))
             for pi in range(n_planes)
             if e in plane_bands[pi]
         ]
@@ -372,7 +456,8 @@ def _exact_synthesis_call(
         for pi in range(n_planes):
             rh = scratch[2 * pi].reshape(b_tile * window_rows, _LANES)
             rl = scratch[2 * pi + 1].reshape(b_tile * window_rows, _LANES)
-            plane_slices.append(_extract_slices(rh, rl, sigma0_k, KX_PAIR))
+            plane_slices.append(_extract_slices(
+                rh, rl, sigma0_k, profile.kx, cheap=profile.cheap_slices))
         acc_hi = None
         acc_lo = None
         gi = 0
@@ -381,7 +466,10 @@ def _exact_synthesis_call(
                 views = [_shift_rows(s, shift) for s in plane_slices[pi]]
                 m_refs = g_refs[gi : gi + len(sls)]
                 gi += len(sls)
-                hi, lo = _dot_exact_pairs(views, m_refs)
+                hi, lo = _dot_exact_pairs(
+                    views, m_refs, keep=profile.keep,
+                    exact_diagonals=profile.exact_diagonals,
+                )
                 if acc_hi is None:
                     acc_hi, acc_lo = hi, lo
                 else:
@@ -407,7 +495,8 @@ def _exact_synthesis_call(
     ]
     n_member_dots = sum(len(members) for _, members in groups)
     pairs = sum(
-        1 for s in range(KEEP) for i in range(min(s + 1, KX_PAIR)) if s - i < KM
+        1 for s in range(profile.keep)
+        for i in range(min(s + 1, profile.kx)) if s - i < profile.km
     )
     outs = pl.pallas_call(
         kernel,
@@ -463,6 +552,7 @@ def analysis_exact(
     interpret: bool = False,
     x_lo: jnp.ndarray | None = None,
     halo: jnp.ndarray | None = None,
+    profile="balanced",
 ):
     """[B, N] (or pair) -> tuple of (levels+1) double-float plane pairs.
 
@@ -515,6 +605,7 @@ def analysis_exact(
         halo_rows=halo_rows,
         interpret=interpret,
         has_lo=has_lo,
+        profile=_resolve_profile(profile),
     )
     outs = tuple(_from_rows(o)[..., :n] for o in outs)
     return tuple(
@@ -530,6 +621,7 @@ def synthesis_exact(
     tile: int = 65536,
     interpret: bool = False,
     halo=None,
+    profile="balanced",
 ):
     """Tuple of (levels+1) double-float pairs -> reconstructed (hi, lo).
 
@@ -577,13 +669,19 @@ def synthesis_exact(
         tile_rows=tile_rows,
         halo_rows=halo_rows,
         interpret=interpret,
+        profile=_resolve_profile(profile),
     )
     return _from_rows(out_hi)[..., :n], _from_rows(out_lo)[..., :n]
 
 
-def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False):
+def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False,
+                          profile="balanced"):
     """Analysis + synthesis through the exact kernels; returns the
-    reconstructed (hi, lo) pair (combine in f64 on host to evaluate)."""
+    reconstructed (hi, lo) pair (combine in f64 on host to evaluate).
+
+    ``profile``: ``"balanced"`` (default — the <=1e-10 contract tier,
+    measured ~1e-12) or ``"full"`` (~1e-13 worst-case geometry).
+    """
     from .modwt_pallas import _kernel_filters
     from ..transforms.modwt import _resolve_discrete
 
@@ -593,11 +691,11 @@ def modwt_roundtrip_exact(x, wavelet, *, levels: int, interpret: bool = False):
         x = x[None, :]
     pairs = analysis_exact(
         x, levels, _kernel_filters(w, synthesis=False), True,
-        interpret=interpret,
+        interpret=interpret, profile=profile,
     )
     hi, lo = synthesis_exact(
         pairs, levels, _kernel_filters(w, synthesis=True), True,
-        interpret=interpret,
+        interpret=interpret, profile=profile,
     )
     if squeeze:
         hi, lo = hi[0], lo[0]
@@ -612,7 +710,8 @@ def _upsample_taps(f, spacing: int) -> tuple[float, ...]:
 
 def analysis_exact_symmetric(x, levels: int, filters: tuple,
                              interpret: bool = False,
-                             x_lo: jnp.ndarray | None = None):
+                             x_lo: jnp.ndarray | None = None,
+                             profile="balanced"):
     """Exact SYMMETRIC analysis: per-level mirrored cascade through the
     exact kernel.
 
@@ -649,7 +748,7 @@ def analysis_exact_symmetric(x, levels: int, filters: tuple,
         )
         pairs = analysis_exact(
             ext_hi, 1, (_upsample_taps(low, s), _upsample_taps(high, s)),
-            False, interpret=interpret, x_lo=ext_lo,
+            False, interpret=interpret, x_lo=ext_lo, profile=profile,
         )
         (d_hi, d_lo), (a_hi, a_lo) = pairs
         outs.append((d_hi[..., hist:], d_lo[..., hist:]))
@@ -660,7 +759,8 @@ def analysis_exact_symmetric(x, levels: int, filters: tuple,
 
 def modwt_multilevel_exact(x, wavelet, *, levels: int,
                            boundary: str = "periodic",
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           profile="balanced"):
     """Public exact-tier analysis: [B, N] (or [N]) -> (details, approx)
     where every plane is a double-float ``(hi, lo)`` pair (~48 effective
     mantissa bits, on-chip).  Combine ``hi + lo`` in f64 on the host for a
@@ -690,12 +790,12 @@ def modwt_multilevel_exact(x, wavelet, *, levels: int,
     if b_l.startswith("sym"):
         pairs = analysis_exact_symmetric(
             x, levels, _kernel_filters(w, synthesis=False),
-            interpret=interpret,
+            interpret=interpret, profile=profile,
         )
     else:
         pairs = analysis_exact(
             x, levels, _kernel_filters(w, synthesis=False),
-            b_l.startswith("per"), interpret=interpret,
+            b_l.startswith("per"), interpret=interpret, profile=profile,
         )
     if squeeze:
         pairs = tuple((h[0], l[0]) for h, l in pairs)
@@ -704,7 +804,8 @@ def modwt_multilevel_exact(x, wavelet, *, levels: int,
 
 def imodwt_multilevel_exact(details, approx, wavelet, *,
                             boundary: str = "periodic",
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            profile="balanced"):
     """Inverse of :func:`modwt_multilevel_exact`: double-float plane pairs
     -> reconstructed ``(hi, lo)`` pair."""
     from .modwt_pallas import _kernel_filters
@@ -719,7 +820,7 @@ def imodwt_multilevel_exact(details, approx, wavelet, *,
     levels = len(details)
     hi, lo = synthesis_exact(
         pairs, levels, _kernel_filters(w, synthesis=True),
-        b_l.startswith("per"), interpret=interpret,
+        b_l.startswith("per"), interpret=interpret, profile=profile,
     )
     if squeeze:
         hi, lo = hi[0], lo[0]

@@ -288,9 +288,15 @@ def modwt_multilevel(
 
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, n)) if x.ndim > 2 else x
+        # tolerances at/under 1e-11 escalate to the full (~1e-13) slice
+        # geometry; the balanced profile serves the <=1e-10 contract
+        profile = (
+            "full" if tolerance is not None and tolerance <= 1e-11
+            else "balanced"
+        )
         dpairs, apair = modwt_multilevel_exact(
             flat.astype(jnp.float32), w, levels=levels, boundary=boundary,
-            interpret=not pallas_available(),
+            interpret=not pallas_available(), profile=profile,
         )
         if x.ndim > 2:
             dpairs = tuple(
@@ -485,6 +491,10 @@ def imodwt_multilevel(
         hi, _lo = imodwt_multilevel_exact(
             dpairs, apair, w, boundary=boundary,
             interpret=not pallas_available(),
+            profile=(
+                "full" if tolerance is not None and tolerance <= 1e-11
+                else "balanced"
+            ),
         )
         # double-float invariant: hi == fl(hi + lo) — hi IS the correctly
         # rounded f32 reconstruction; lo carries the ~1e-13 residual
