@@ -124,3 +124,25 @@ def test_unsorted_scales_keep_fft_path(pallas_f32):
     np.testing.assert_allclose(
         np.asarray(got.coeffs), np.asarray(ref.coeffs), atol=1e-5
     )
+
+
+def test_mxu_irfft_synthesis_matches_fft_path(pallas_f32, monkeypatch):
+    """Large-scale rows through the MXU-factorized inverse FFT must match
+    the XLA irfft path at f32 grade (kernels/fft_mxu.py)."""
+    from vectorwave_tpu.transforms import cwt as cwt_mod
+
+    monkeypatch.setattr(cwt_mod, "_MXU_IFFT_MIN_FFT", 1 << 12)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(16384), jnp.float32)
+    big = float((cwt_mod._KERNEL_DIRECT_MAX_HALF // 4) * 4)
+    scales = (4.0, 16.0, big, big * 1.5)  # two kernel-direct + two FFT-path
+    assert cwt_mod._use_mxu_ifft(1 << 15, jnp.float32)
+    got = vw.cwt(x, scales, "morl", boundary="periodic")
+    vw.set_backend("jnp")
+    ref = vw.cwt(x, scales, "morl", boundary="periodic")
+    vw.set_backend("pallas")
+    scale_mag = np.abs(np.asarray(ref.coeffs)).max()
+    np.testing.assert_allclose(
+        np.asarray(got.coeffs), np.asarray(ref.coeffs),
+        atol=2e-5 * scale_mag,
+    )

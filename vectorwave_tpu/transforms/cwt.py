@@ -297,7 +297,7 @@ def cwt(
                 np.conj(np.fft.rfft(bank_l.real, axis=-1)), complex_dtype
             )
         prod = spec_x[..., None, :] * bank_spec
-        out_large = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
+        out_large = _irfft_synthesis(prod, fft_size, real_dtype)[..., :n]
         out = jnp.concatenate(
             [out_small, out_large.astype(real_dtype)], axis=-2
         )
@@ -311,8 +311,52 @@ def cwt(
             np.conj(np.fft.rfft(bank.real, axis=-1)), complex_dtype
         )
     prod = spec_x[..., None, :] * bank_spec
-    out = jnp.fft.irfft(prod, n=fft_size, axis=-1)[..., :n]
+    out = _irfft_synthesis(prod, fft_size, real_dtype)[..., :n]
     return CWTResult(out.astype(real_dtype), scales, boundary)
+
+
+#: smallest FFT size routed through the MXU-factorized inverse: below this
+#: XLA's irfft dispatch cost is immaterial and the radix matmuls lose their
+#: shape advantage (tune with tools/probe_irfft_mxu.py on chip)
+_MXU_IFFT_MIN_FFT = 1 << 16
+
+
+def _use_mxu_ifft(fft_size: int, real_dtype) -> bool:
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False
+    if backend == "auto" and not pallas_available():
+        return False
+    if real_dtype != jnp.float32:
+        return False
+    return (
+        fft_size >= _MXU_IFFT_MIN_FFT
+        and fft_size & (fft_size - 1) == 0  # power of two
+    )
+
+
+def _irfft_synthesis(prod, fft_size: int, real_dtype):
+    """Per-scale inverse of the FFT path: ``irfft(prod, fft_size)``.
+
+    On TPU at large sizes this routes through the MXU-factorized inverse
+    (:mod:`..kernels.fft_mxu`): the committed probe shows XLA's batched
+    irfft costs ~0.79 ms/scale at 2^21 — ~80x above its HBM floor and
+    100% of cfg5's FFT-path latency (tools/probe_cwt_scales.py) — while
+    radix-128 four-step matmuls put the same transform on the systolic
+    array at f32 grade.
+    """
+    if _use_mxu_ifft(fft_size, real_dtype):
+        from ..kernels.fft_mxu import mxu_irfft
+
+        return mxu_irfft(
+            jnp.real(prod).astype(jnp.float32),
+            jnp.imag(prod).astype(jnp.float32),
+            fft_size,
+        )
+    return jnp.fft.irfft(prod, n=fft_size, axis=-1)
 
 
 #: largest half-support served by the kernel-direct CWT tier (span 2*half;
