@@ -44,6 +44,9 @@ def _infer_round() -> int:
 
 
 def _measure_ms(fn, x0, iters, readback, reps=3):
+    """Returns (median, min, max) ms/iter over ``reps`` chain runs — the
+    range lets artifact diffs separate the documented ±15% chip-throughput
+    swing from real regressions (VERDICT r04 #9)."""
     import jax
 
     @jax.jit
@@ -58,7 +61,26 @@ def _measure_ms(fn, x0, iters, readback, reps=3):
         out = repeat(x0)
         readback(out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / iters * 1e3
+    scale = 1e3 / iters
+    return (float(np.median(times)) * scale, float(min(times)) * scale,
+            float(max(times)) * scale)
+
+
+def _hbm_bw_gbps() -> float:
+    """Measured HBM bandwidth from the committed headline artifact."""
+    try:
+        with open(os.path.join(REPO, "BENCH_LATEST.json")) as f:
+            return float(json.load(f).get("measured_hbm_gbps", 844.0))
+    except Exception:  # noqa: BLE001
+        return 844.0
+
+
+def _cwt_floor_ms(n_scales: int, n: int) -> float:
+    """HBM floor of a real-CWT synthesis: per scale, read the complex
+    half-spectrum and write the real row (the probe's model,
+    tools/probe_cwt_scales.py)."""
+    per_scale = (n // 2 + 1) * 8 + n * 4
+    return n_scales * per_scale / (_hbm_bw_gbps() * 1e9) * 1e3
 
 
 def measure_all() -> dict:
@@ -154,9 +176,11 @@ def measure_all() -> dict:
     results = []
     for name, fn, x0, iters, ref_core, ref_ext, src in rows:
         try:
-            ms = _measure_ms(fn, x0, iters, rb1)
+            ms, ms_min, ms_max = _measure_ms(fn, x0, iters, rb1)
             results.append(
-                {"name": name, "ms": round(ms, 4), "ref_core_ms": ref_core,
+                {"name": name, "ms": round(ms, 4),
+                 "ms_min": round(ms_min, 4), "ms_max": round(ms_max, 4),
+                 "ref_core_ms": ref_core,
                  "ref_ext_ms": ref_ext, "source": src}
             )
             print(f"{name}: {ms:.4f} ms (ref ext {ref_ext} ms, "
@@ -282,8 +306,9 @@ def measure_all() -> dict:
          tiled_roundtrip_row, sig(65536, 128), 100, 128 * 65536),
     ):
         try:
-            ms = _measure_ms(fn, x0, iters, rb1)
-            row = {"name": name, "ms": round(ms, 4)}
+            ms, ms_min, ms_max = _measure_ms(fn, x0, iters, rb1)
+            row = {"name": name, "ms": round(ms, 4),
+                   "ms_min": round(ms_min, 4), "ms_max": round(ms_max, 4)}
             if samples:
                 row["msamples_per_s"] = round(samples / ms / 1e3, 0)
             baseline_rows.append(row)
@@ -292,6 +317,18 @@ def measure_all() -> dict:
             print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:160]}",
                   file=sys.stderr, flush=True)
             baseline_rows.append({"name": name, "ms": None})
+
+    # bound-relative context for the CWT rows (VERDICT r03 item 9 / r04
+    # #8): each carries the HBM floor of its own synthesis traffic
+    cwt_shapes = {
+        "CWT 32 scales 8K": (32, 8192),
+        "CWT 32 scales 32K": (32, 32768),
+        "cfg5 CWT morl 64-scale 1M samples": (64, 1 << 20),
+    }
+    for r in results + baseline_rows:
+        sh = cwt_shapes.get(r["name"])
+        if sh and r.get("ms"):
+            r["floor_ms"] = round(_cwt_floor_ms(*sh), 4)
 
     # streaming per-sample latency: one sliding window step per
     # buffer_size-overlap new samples
@@ -417,19 +454,27 @@ def render_perf_md(full: dict, latest: dict | None,
         "default precision (bf16_3x).  Timing: on-device fori chains, "
         "dispatch overhead amortized (see bench.py docstring).",
         "",
-        "| Benchmark | ref core (ms) | ref SIMD ext (ms) | ours (ms) | speedup vs ext | source |",
-        "|---|---|---|---|---|---|",
+        "| Benchmark | ref core (ms) | ref SIMD ext (ms) | ours (ms, median (min-max)) | speedup vs ext | % of HBM floor | source |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in full["rows"]:
         if r["ms"] is None:
             lines.append(
                 f"| {r['name']} | {r['ref_core_ms']} | {r['ref_ext_ms']} "
-                f"| FAILED | — | {r['source']} |"
+                f"| FAILED | — | — | {r['source']} |"
             )
             continue
+        ours = f"{r['ms']:.4f}"
+        if r.get("ms_min") is not None:
+            ours += f" ({r['ms_min']:.4f}-{r['ms_max']:.4f})"
+        floor = (
+            f"{100 * r['floor_ms'] / r['ms']:.0f}%"
+            if r.get("floor_ms") else "—"
+        )
         lines.append(
             f"| {r['name']} | {r['ref_core_ms']} | {r['ref_ext_ms']} | "
-            f"{r['ms']:.4f} | {r['ref_ext_ms']/r['ms']:.1f}x | {r['source']} |"
+            f"{ours} | {r['ref_ext_ms']/r['ms']:.1f}x | {floor} | "
+            f"{r['source']} |"
         )
     ing = full["ingest"]
     lines += [
@@ -449,14 +494,20 @@ def render_perf_md(full: dict, latest: dict | None,
         "",
         "## BASELINE.json configs (on-chip latency per transform)",
         "",
-        "| config | ours (ms) |",
-        "|---|---|",
+        "| config | ours (ms, median (min-max)) | % of HBM floor |",
+        "|---|---|---|",
     ]
     for r in full["baseline_configs"]:
         val = "FAILED" if r["ms"] is None else f"{r['ms']:.4f}"
+        if r["ms"] is not None and r.get("ms_min") is not None:
+            val += f" ({r['ms_min']:.4f}-{r['ms_max']:.4f})"
         if r.get("msamples_per_s"):
             val += f" ({r['msamples_per_s']:.0f} Msamples/s)"
-        lines.append(f"| {r['name']} | {val} |")
+        floor = (
+            f"{100 * r['floor_ms'] / r['ms']:.0f}%"
+            if r.get("floor_ms") and r["ms"] else "—"
+        )
+        lines.append(f"| {r['name']} | {val} | {floor} |")
     if latest:
         rl = latest["roofline_msamples"]
         ladder = [
@@ -536,12 +587,18 @@ def render_perf_md(full: dict, latest: dict | None,
             "",
             "## Beyond-reference modules (on-chip latency, tools/perf_beyond.py)",
             "",
-            "| Workload | ours (ms) | note |",
-            "|---|---|---|",
+            "| Workload | ours (ms) | % of HBM floor | note |",
+            "|---|---|---|---|",
         ]
         for r in beyond["rows"]:
             ms = "FAILED" if r["ms"] is None else f"{r['ms']:.2f}"
-            lines.append(f"| {r['name']} | {ms} | {r.get('note', '')} |")
+            floor = (
+                f"{100 * r['floor_ms'] / r['ms']:.0f}%"
+                if r.get("floor_ms") and r["ms"] else "—"
+            )
+            lines.append(
+                f"| {r['name']} | {ms} | {floor} | {r.get('note', '')} |"
+            )
     lines.append("")
     return "\n".join(lines)
 

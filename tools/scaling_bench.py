@@ -96,6 +96,52 @@ def bench_tiled2d(n_devices: int, rows_per: int, w_dim: int) -> float:
     return _time(run, x)
 
 
+def bench_tiled_nocomm(n_devices: int, n: int) -> float:
+    """CONTROL: the tiled jnp path's exact per-shard compute (cumulative
+    zero-extended cascade) with the halo replaced by local zeros — zero
+    collectives, identical FLOPs.  full - control = collective + sync
+    cost, separated from CPU contention (which hits both equally)."""
+    from jax.sharding import PartitionSpec as P
+
+    from vectorwave_tpu.parallel.tiled import (
+        _INV_SQRT2,
+        atrous_analysis_pair,
+    )
+    from vectorwave_tpu.transforms.modwt import _resolve_discrete
+
+    mesh = make_mesh({"signal": n_devices})
+    w = _resolve_discrete(WAVELET)
+    low = w.dec_lo * _INV_SQRT2
+    high = w.dec_hi * _INV_SQRT2
+    span = (w.filter_length - 1) * ((1 << LEVELS) - 1)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(n), dtype=jnp.float32
+    )
+
+    def shard_fn(xl):
+        n_loc = xl.shape[-1]
+        cur = jnp.concatenate(
+            [jnp.zeros(xl.shape[:-1] + (span,), xl.dtype), xl], axis=-1
+        )
+        details = []
+        for level in range(1, LEVELS + 1):
+            cur, d = atrous_analysis_pair(
+                cur, low, high, spacing=1 << (level - 1), boundary="zero"
+            )
+            details.append(d[..., -n_loc:])
+        return tuple(details), cur[..., -n_loc:]
+
+    spec = P("signal")
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(spec,),
+        out_specs=(tuple(spec for _ in range(LEVELS)), spec),
+    )
+    x = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, spec)
+    )
+    return _time(lambda v: fn(v)[1], x)
+
+
 def bench_batch(n_devices: int, batch: int, n: int) -> float:
     mesh = make_mesh({"data": n_devices})
     x = jnp.asarray(
@@ -154,6 +200,8 @@ def main() -> None:
         strong[p] = bench_tiled(p, n_strong)
         weak[p] = bench_tiled(p, n_weak_per * p)
         batch_rows[p] = bench_batch(p, batch_strong, 1 << 14)
+
+    nocomm = {p: bench_tiled_nocomm(p, n_weak_per * p) for p in devices}
 
     tiled2d = {p: bench_tiled2d(p, 128, 512) for p in devices}
 
@@ -217,6 +265,47 @@ def main() -> None:
             f"| {p} | {n_weak_per*p} | {weak[p]*1e3:.2f} | "
             f"{weak[1]/weak[p]:.2f} |"
         )
+    from vectorwave_tpu.transforms.modwt import _resolve_discrete
+
+    w0 = _resolve_discrete(WAVELET)
+    span = (w0.filter_length - 1) * ((1 << LEVELS) - 1)
+    lines += [
+        "",
+        "## Collective cost decomposition (weak rows, 1M samples/device)",
+        "",
+        "Bytes/hops model (analysis direction): the jnp tiled path now",
+        "exchanges ONE cumulative raw-x halo of span = (L0-1)(2^J-1) ="
+        f" {span} samples ({span*4} B/boundary f32) in ceil(span/n_loc)",
+        "ppermute hops (1 here), identical to the kernel path — previously",
+        "J per-level exchanges moved the SAME total bytes across J sync",
+        "points.  (Synthesis keeps per-level halos: 2 per level totaling",
+        f"~{2*span*4} B/boundary; the kernel synthesis instead ships all",
+        f"J+1 plane tails of span at once, {(LEVELS+1)*span*4} B/boundary —",
+        "3.5x the bytes for 1/(2J) the sync points; on ICI, sync dominates",
+        "at these halo sizes, so both choices are documented and the",
+        "kernel path keeps the single exchange.)  Against 1M samples/device",
+        f"of local compute, {span*4} B over ICI (~45 GB/s/link) is ~40 ns —",
+        "the model predicts ZERO measurable collective cost on real chips;",
+        "any virtual-mesh loss below is executor sync, not bytes.",
+        "",
+        "Measured control: the SAME per-shard compute with the halo",
+        "replaced by local zeros (no collectives at all,",
+        "tools/scaling_bench.bench_tiled_nocomm):",
+        "",
+        "| devices | tiled (ms) | no-comm control (ms) | collective+sync share |",
+        "|---|---|---|---|",
+    ] + [
+        f"| {p} | {weak[p]*1e3:.2f} | {nocomm[p]*1e3:.2f} | "
+        f"{max(0.0, 1 - nocomm[p]/weak[p]):.0%} |"
+        for p in devices
+    ] + [
+        "",
+        "The residual weak-scaling loss in the no-comm control is host",
+        "contention (shared DRAM + 4 physical cores), which will not",
+        "transfer to real multi-chip hardware; the collective+sync share",
+        "is the part the sharding design owns.",
+    ]
+
     lines += [
         "",
         "## 2-D tiled weak scaling — 128 image rows x 512 per device",

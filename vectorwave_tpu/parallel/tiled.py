@@ -200,13 +200,33 @@ def modwt_multilevel_tiled(
 
     def shard_fn(x_local):
         idx = jax.lax.axis_index(axis)
+        if not boundary_l.startswith("sym"):
+            # ONE cumulative raw-x halo of (L0-1)(2^J-1) samples, then the
+            # whole local cascade zero-extended on [halo | x] — the same
+            # structure as the kernel path (and the streaming carry): total
+            # exchanged bytes equal the per-level halos, but J ppermute
+            # sync points collapse to ceil(span/n_loc) (VERDICT r04 #5;
+            # bytes/hops model in SCALING.md).  Periodic wrap and the
+            # global zero edge both ride _gather_halo's hop chain.
+            n_loc = x_local.shape[-1]
+            span = (w.filter_length - 1) * ((1 << levels) - 1)
+            halo = _gather_halo(x_local, span, axis, from_left, "left")
+            cur = jnp.concatenate([halo, x_local], axis=-1)
+            details = []
+            for level in range(1, levels + 1):
+                spacing = 1 << (level - 1)
+                cur, detail = atrous_analysis_pair(
+                    cur, low, high, spacing=spacing, boundary="zero"
+                )
+                details.append(detail[..., -n_loc:])
+            return tuple(details), cur[..., -n_loc:]
         cur = x_local
         details = []
         for level in range(1, levels + 1):
             spacing = 1 << (level - 1)
             halo_len = effective_length(w.filter_length, level) - 1
             n_loc = cur.shape[-1]
-            if boundary_l.startswith("sym") and halo_len > n_loc:
+            if halo_len > n_loc:
                 # Deep-halo symmetric: the mirror of the global head spans
                 # multiple shards, so neither shard 0's local mirror nor the
                 # interior shards' zero-filled hop chains are correct.  The

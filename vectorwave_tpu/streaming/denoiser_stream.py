@@ -55,15 +55,23 @@ def streaming_denoiser_init(
 def _update_noise_window(
     window: jnp.ndarray, pos, fill, detail: jnp.ndarray, samples: int = 16
 ):
-    """Stratified-sample |detail| into the ring (``updateNoiseEstimation``
-    :103-199): every (B/samples)-th coefficient, written at the ring cursor."""
+    """Stratified-sample |detail| into the noise window
+    (``updateNoiseEstimation`` :103-199): every (B/samples)-th coefficient.
+
+    The window is a SHIFT REGISTER (newest samples at the end), not a
+    cursor ring: the cursor write ``window.at[(pos + arange) % w].set``
+    is a dynamic scatter — TPU lowers it to the scalar path, and it ran
+    every block inside the streaming chain (VERDICT r04 #4).  Dropping
+    the oldest ``take`` and appending is two STATIC slices with the same
+    multiset of retained samples, so sigma (median/std over the window)
+    is unchanged.  ``pos`` stays as the reference's cursor statistic.
+    """
     n = detail.shape[-1]
     w = window.shape[-1]
     take = min(samples, n, w)
     stride = max(1, n // take)
     picks = jnp.abs(detail[..., : take * stride : stride])
-    idx = (pos + jnp.arange(take)) % w
-    window = window.at[..., idx].set(picks)
+    window = jnp.concatenate([window[..., take:], picks], axis=-1)
     return window, (pos + take) % w, jnp.minimum(fill + take, w)
 
 
@@ -235,7 +243,12 @@ def streaming_denoise_block_kernel(
     )
     est = noise_estimation.lower()
     if est == "mad":
-        sigma = jnp.median(window, axis=-1, keepdims=True) / 0.6745
+        # sort-free exact median: jnp.median lowers to a per-block SORT;
+        # the nibble counting passes (ops/thresholds.median_magnitude)
+        # match it bit-for-bit on the non-negative window
+        from ..ops.thresholds import median_magnitude
+
+        sigma = median_magnitude(window) / 0.6745
     elif est == "std":
         sigma = jnp.std(window, axis=-1, keepdims=True)
     elif est == "fixed":
