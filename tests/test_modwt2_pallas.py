@@ -219,3 +219,37 @@ def test_2d_deep_span_family_sweep(name, levels, hw, boundary):
         )
     np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x),
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+def test_2d_cascade_tier_sym8_j6_newly_eligible(boundary):
+    """sym8 J=6 (composite span 945 -> hb=8, previously ineligible) rides
+    the cascade tier: deep levels run single-stage on the previous LL
+    (span (L0-1)*2^(j-1), hb<=4) — VERDICT r04 #7."""
+    from vectorwave_tpu.kernels.modwt2_pallas import (
+        _cascade_start,
+        modwt2_pallas_eligible,
+    )
+
+    import vectorwave_tpu as vw
+
+    w = _resolve_discrete("sym8")
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((1, 1024, 512)), jnp.float32)
+    vw.set_backend("pallas")
+    try:
+        assert modwt2_pallas_eligible(x, w, 6, boundary)
+    finally:
+        vw.set_backend("auto")
+    assert _cascade_start(w.filter_length, 6) == 5
+    det_p, ll_p = modwt2_multilevel_pallas(
+        x, w, 6, boundary, "float32", interpret=True
+    )
+    det_x, ll_x = k2.modwt2_multilevel_fast(x, w, 6, boundary, "float32")
+    for j in (4, 5):  # the cascaded levels
+        for got, want, tag in zip(det_p[j], det_x[j], ("lh", "hl", "hh")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4,
+                err_msg=f"sym8 level {j+1} {tag} {boundary}",
+            )
+    np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x), atol=2e-4)

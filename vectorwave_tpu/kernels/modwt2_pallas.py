@@ -106,8 +106,7 @@ def modwt2_pallas_eligible(x, w, levels: int, boundary: str) -> bool:
         return False
     if x.dtype not in (jnp.float32,):
         return False
-    span = (w.filter_length - 1) * ((1 << levels) - 1)
-    hb = max(1, -(-span // _LANES))
+    hb = _effective_hb(w.filter_length, levels)
     if hb > 4:  # beyond 4 halo blocks the windows crowd scoped VMEM
         return False
     h, w_ = x.shape[-2], x.shape[-1]
@@ -115,6 +114,43 @@ def modwt2_pallas_eligible(x, w, levels: int, boundary: str) -> bool:
         return False
     # per-k DMA guards make any wtile legal; just need hb halo row-blocks
     return h // _LANES >= hb
+
+
+def _effective_hb(filter_length: int, levels: int) -> int:
+    """Halo blocks the deepest level actually needs: composite span when
+    shallow, SINGLE-STAGE span (L0-1)*2^(J-1) when the deep levels take
+    the cascade tier (see :func:`_cascade_start`) — roughly half the
+    composite's, which is what extends db4 J=6 to hb=2 windows and sym8
+    J=6 into eligibility at all (composite hb=8)."""
+    span_comp = (filter_length - 1) * ((1 << levels) - 1)
+    hb_comp = max(1, -(-span_comp // _LANES))
+    if hb_comp < 3:
+        return hb_comp
+    span_single = (filter_length - 1) * (1 << (levels - 1))
+    return max(1, -(-span_single // _LANES))
+
+
+def _cascade_start(filter_length: int, levels: int) -> int:
+    """First level served by the per-level cascade tier (levels whose
+    COMPOSITE span needs hb >= 3 halo blocks; levels+1 = none).
+
+    Deep composite windows are the J=6 penalty (VERDICT r04 #7: 172 ms vs
+    46 at J=4 — 3.7x for 1.5x the levels): an hb=4 window holds 5x128
+    rows x (wtile+4) blocks live per plane.  A single à trous stage on
+    the PREVIOUS approximation spans only (L0-1)*2^(j-1) — half the
+    composite reach — at the cost of one extra LL round trip through HBM
+    (~0.6 ms at 8x2048x2048, immaterial next to the window cost)."""
+    for j in range(1, levels + 1):
+        span = (filter_length - 1) * ((1 << j) - 1)
+        if -(-span // _LANES) >= 3:
+            return j
+    return levels + 1
+
+
+def _up_taps(f, s: int) -> tuple:
+    arr = np.zeros(s * (len(f) - 1) + 1, np.float64)
+    arr[::s] = np.asarray(f, np.float64)
+    return tuple(arr.tolist())
 
 
 @functools.partial(
@@ -618,26 +654,59 @@ def imodwt2_multilevel_pallas(details, approx, w, boundary: str,
         p.reshape((-1, h, w_ // _LANES, _LANES)) for p in planes
     )
     wk = w_ // _LANES
+    periodic = boundary.lower().startswith("per")
+
     # synthesis holds ONE plane window + a single output block, so a wide
     # tile fits: fewer grid steps amortize the per-plane DMA sequencing.
     # Deep spans (hb > 1) shrink the tile to keep the window in budget.
-    span = (w.filter_length - 1) * ((1 << levels) - 1)
-    hb = max(1, -(-span // _LANES))
-    if hb == 1:
-        wtile = 8 if wk % 8 == 0 else (
-            4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
-    else:
-        wtile = 4 if wk % 4 == 0 else 2
-    out = _modwt2_synthesis_call(
-        p4,
-        levels=levels,
-        filters=filters,
-        wtile=wtile,
-        periodic=boundary.lower().startswith("per"),
-        precision=precision,
-        interpret=interpret,
-    )
-    return out.reshape(lead + (h, w_))
+    def _wtile_for(hb_call: int) -> int:
+        if hb_call == 1:
+            return 8 if wk % 8 == 0 else (
+                4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
+        return 4 if wk % 4 == 0 else 2
+
+    # deep levels (composite hb >= 3) invert through the CASCADE tier,
+    # coarsest first: one single-stage synthesis per level rebuilds the
+    # previous LL with span (L0-1)*2^(j-1) — the analysis-side split
+    # mirrored (see _cascade_start); then one composite call finishes the
+    # shallow levels.
+    casc = _cascade_start(w.filter_length, levels)
+    cur = p4[3 * levels]  # ll_J
+    for j in range(levels, casc - 1, -1):
+        s = 1 << (j - 1)
+        a_up = _up_taps(filters[0], s)
+        d_up = _up_taps(filters[1], s)
+        span_j = (w.filter_length - 1) * s
+        hb_j = max(1, -(-span_j // _LANES))
+        cur = _modwt2_synthesis_call(
+            (p4[3 * (j - 1)], p4[3 * (j - 1) + 1], p4[3 * (j - 1) + 2], cur),
+            levels=1,
+            filters=filters,
+            wtile=_wtile_for(hb_j),
+            periodic=periodic,
+            precision=precision,
+            interpret=interpret,
+            pairs_override=(
+                (d_up, a_up),  # lh
+                (a_up, d_up),  # hl
+                (d_up, d_up),  # hh
+                (a_up, a_up),  # ll
+            ),
+        ).reshape((-1, h, wk, _LANES))
+    shallow = casc - 1
+    if shallow >= 1:
+        span = (w.filter_length - 1) * ((1 << shallow) - 1)
+        hb = max(1, -(-span // _LANES))
+        cur = _modwt2_synthesis_call(
+            p4[: 3 * shallow] + (cur,),
+            levels=shallow,
+            filters=filters,
+            wtile=_wtile_for(hb),
+            periodic=periodic,
+            precision=precision,
+            interpret=interpret,
+        )
+    return cur.reshape(lead + (h, w_))
 
 
 def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
@@ -656,37 +725,68 @@ def modwt2_multilevel_pallas(x, w, levels: int, boundary: str,
     # split level sets across calls: one 13-output wtile=4 call overflowed
     # Mosaic's 16 MB scoped VMEM (18.4 MB), and each call sizes its window
     # by its OWN deepest span (hb halo blocks) — grouping levels with equal
-    # hb keeps shallow levels on the 1-block window
+    # hb keeps shallow levels on the 1-block window.  Levels whose
+    # composite span would need hb >= 3 take the CASCADE tier instead: a
+    # single à trous stage on the previous LL (half the reach, hb <= 2 for
+    # db4 J=6; one extra LL HBM round trip per level) — see _cascade_start.
+    casc = _cascade_start(w.filter_length, levels)
+    shallow = casc - 1
     spans = [
-        (w.filter_length - 1) * ((1 << j) - 1) for j in range(1, levels + 1)
+        (w.filter_length - 1) * ((1 << j) - 1) for j in range(1, shallow + 1)
     ]
     hbs = [max(1, -(-s // _LANES)) for s in spans]
     ranges = []
     start = 1
-    for j in range(2, levels + 2):
-        if j > levels or hbs[j - 1] != hbs[start - 1] or j - start >= 3:
+    for j in range(2, shallow + 2):
+        if j > shallow or hbs[j - 1] != hbs[start - 1] or j - start >= 3:
             ranges.append((start, j - 1))
             start = j
+
+    def _wtile_for(hb_call: int) -> int:
+        # wtile=4 normally (8 overflows scoped VMEM even with split level
+        # groups); deep-halo calls (hb >= 3) shrink to 2 (a 1-level hb=4
+        # wtile=4 call compiled to 21.2 MB scoped > 16)
+        cap = 4 if hb_call <= 2 else 2
+        return min(cap, 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1))
+
     outs = []
     for rng_ in ranges:
-        # per-call tile: wtile=4 normally (8 overflows scoped VMEM even
-        # with split level groups); deep-halo calls (hb >= 3) shrink to 2
-        # (a 1-level hb=4 wtile=4 call compiled to 21.2 MB scoped > 16)
-        hb_call = hbs[rng_[1] - 1]
-        cap = 4 if hb_call <= 2 else 2
-        wtile_call = min(
-            cap, 4 if wk % 4 == 0 else (2 if wk % 2 == 0 else 1)
-        )
         outs.extend(_modwt2_analysis_call(
             x4,
-            levels=levels,
+            levels=shallow,  # the last shallow call emits LL_shallow
             filters=filters,
-            wtile=wtile_call,
+            wtile=_wtile_for(hbs[rng_[1] - 1]),
             periodic=periodic,
             precision=precision,
             interpret=interpret,
             level_range=rng_,
         ))
+    if casc <= levels:
+        # LL_shallow (or x itself); call outputs are [B, H, W] — restore
+        # the [B, H, Wk, 128] block layout for the next call's input
+        cur = (
+            outs.pop().reshape((-1, h, wk, _LANES)) if shallow >= 1 else x4
+        )
+        for j in range(casc, levels + 1):
+            s = 1 << (j - 1)
+            fil_j = (
+                _up_taps(filters[0], s),
+                _up_taps(filters[1], s),
+            )
+            span_j = (w.filter_length - 1) * s
+            hb_j = max(1, -(-span_j // _LANES))
+            lh, hl, hh, ll = _modwt2_analysis_call(
+                cur,
+                levels=1,
+                filters=fil_j,
+                wtile=_wtile_for(hb_j),
+                periodic=periodic,
+                precision=precision,
+                interpret=interpret,
+            )
+            outs.extend([lh, hl, hh])
+            cur = ll.reshape((-1, h, wk, _LANES))
+        outs.append(cur.reshape((-1, h, w_)))
     outs = [o.reshape(lead + (h, w_)) for o in outs]
     details = tuple(
         (outs[3 * j], outs[3 * j + 1], outs[3 * j + 2])
