@@ -223,35 +223,45 @@ def main() -> None:
 
         exact_iters = 30
 
-        @jax.jit
-        def exact_chain(y):
-            def body(_, z):
-                h, _l = modwt_roundtrip_exact(z, WAVELET, levels=LEVELS)
-                return h
-            return jax.lax.fori_loop(0, exact_iters, body, y)
+        def measure_exact(profile, tag):
+            @jax.jit
+            def exact_chain(y):
+                def body(_, z):
+                    h, _l = modwt_roundtrip_exact(
+                        z, WAVELET, levels=LEVELS, profile=profile
+                    )
+                    return h
+                return jax.lax.fori_loop(0, exact_iters, body, y)
 
-        np.asarray(exact_chain(x)[0, :8])
-        ex_times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
             np.asarray(exact_chain(x)[0, :8])
-            ex_times.append(time.perf_counter() - t0)
-        t_exact = float(np.median(ex_times)) / exact_iters
-        hi, lo = jax.jit(
-            lambda y: modwt_roundtrip_exact(y, WAVELET, levels=LEVELS)
-        )(x)
-        err = (
-            np.asarray(hi, np.float64)
-            + np.asarray(lo, np.float64)
-            - np.asarray(x, np.float64)
-        )
-        extras["exact_msamples"] = round(BATCH * N / t_exact / 1e6, 1)
-        extras["exact_rmse"] = float(np.sqrt(np.mean(err**2)))
-        print(
-            f"bench: exact: {extras['exact_msamples']:.0f} Msamples/s "
-            f"rmse {extras['exact_rmse']:.2e} (on-chip)",
-            file=sys.stderr, flush=True,
-        )
+            ex_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(exact_chain(x)[0, :8])
+                ex_times.append(time.perf_counter() - t0)
+            t_exact = float(np.median(ex_times)) / exact_iters
+            hi, lo = jax.jit(
+                lambda y: modwt_roundtrip_exact(
+                    y, WAVELET, levels=LEVELS, profile=profile
+                )
+            )(x)
+            err = (
+                np.asarray(hi, np.float64)
+                + np.asarray(lo, np.float64)
+                - np.asarray(x, np.float64)
+            )
+            extras[f"{tag}_msamples"] = round(BATCH * N / t_exact / 1e6, 1)
+            extras[f"{tag}_rmse"] = float(np.sqrt(np.mean(err**2)))
+            print(
+                f"bench: {tag}: {extras[f'{tag}_msamples']:.0f} Msamples/s "
+                f"rmse {extras[f'{tag}_rmse']:.2e} (on-chip)",
+                file=sys.stderr, flush=True,
+            )
+
+        # 'exact' = the balanced profile (the <=1e-10 contract tier the
+        # tolerance router serves); 'exact_full' = the ~1e-13 geometry
+        measure_exact("balanced", "exact")
+        measure_exact("full", "exact_full")
 
         # measured HBM bandwidth -> roofline context.  TWO independent
         # 3-stream dependent-carry chains in one fori body: carries prevent
