@@ -121,18 +121,18 @@ def _acquire_device():
             th.join(timeout=300.0)
             if "devices" in probe and probe["devices"][0].platform != "cpu":
                 return probe["devices"][0], False
-            if not probe:
-                # In-process init hung AFTER a successful probe: the
-                # backend lock is now stuck for good in this process —
-                # re-exec fresh (keeping the axon env) and try again.
-                n = int(os.environ.get("VW_BENCH_REEXEC_COUNT", "0"))
-                if n < 2:
-                    print("bench: in-process TPU init hung after probe "
-                          "success; re-exec'ing fresh", file=sys.stderr,
-                          flush=True)
-                    _reexec({"VW_BENCH_REEXEC_COUNT": str(n + 1)},
-                            keep_axon=True)
-                break  # re-exec budget exhausted -> degraded fallback
+            # In-process init hung, raised, or yielded a CPU backend AFTER
+            # a successful probe.  JAX caches backend init process-wide,
+            # so ANY of these outcomes is permanent for this process —
+            # re-exec fresh (keeping the axon env) and retry.
+            n = int(os.environ.get("VW_BENCH_REEXEC_COUNT", "0"))
+            if n < 2:
+                print("bench: in-process TPU init failed after probe "
+                      "success; re-exec'ing fresh", file=sys.stderr,
+                      flush=True)
+                _reexec({"VW_BENCH_REEXEC_COUNT": str(n + 1)},
+                        keep_axon=True)
+            break  # re-exec budget exhausted -> degraded fallback
         print(f"bench: tunnel probe {attempt}/{len(schedule)} failed "
               f"({probe_timeout:.0f}s timeout); sleeping {sleep_after}s",
               file=sys.stderr, flush=True)

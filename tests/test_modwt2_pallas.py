@@ -253,3 +253,38 @@ def test_2d_cascade_tier_sym8_j6_newly_eligible(boundary):
                 err_msg=f"sym8 level {j+1} {tag} {boundary}",
             )
     np.testing.assert_allclose(np.asarray(ll_p), np.asarray(ll_x), atol=2e-4)
+
+
+@pytest.mark.parametrize("boundary", ["periodic", "zero"])
+def test_2d_cascade_synthesis_roundtrip_db8_j5(boundary):
+    """The cascade SYNTHESIS tier (imodwt2_multilevel_pallas per-level
+    inverse for composite hb>=3) — round trip + parity vs the jnp path
+    (code-review r5 finding: the branch had analysis-only coverage)."""
+    from vectorwave_tpu.kernels.modwt2_pallas import (
+        _cascade_start,
+        imodwt2_multilevel_pallas,
+    )
+
+    w = _resolve_discrete("db8")
+    levels = 5  # composite span 465 -> hb=4 -> cascade from level 5
+    assert _cascade_start(w.filter_length, levels) == 5
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 512, 512)), jnp.float32)
+    det_p, ll_p = modwt2_multilevel_pallas(
+        x, w, levels, boundary, "float32", interpret=True
+    )
+    out = imodwt2_multilevel_pallas(
+        det_p, ll_p, w, boundary, "float32", interpret=True
+    )
+    if boundary == "periodic":
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=5e-6)
+    # parity vs jnp inverse on the same coefficients
+    from vectorwave_tpu.transforms.twodim import (
+        MultiLevelMODWT2Result,
+        imodwt2_multilevel,
+    )
+
+    ref = imodwt2_multilevel(
+        MultiLevelMODWT2Result(det_p, ll_p), w, boundary=boundary
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

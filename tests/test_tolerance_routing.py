@@ -124,3 +124,11 @@ def test_tolerance_below_1e11_escalates_to_full_profile():
     ):
         got = np.asarray(h, np.float64) + np.asarray(l, np.float64)
         np.testing.assert_allclose(got, np.asarray(want), atol=2e-12)
+
+
+def test_denoise_explicit_exact_precision_raises():
+    """A NAMED precision='exact' request on the denoise surface cannot be
+    honored (f32 output floor) — it must raise, not silently substitute."""
+    x = jnp.zeros((2, 4096), jnp.float32)
+    with pytest.raises(vw.InvalidArgumentError, match="float32 tier"):
+        vw.denoise_multilevel(x, "db4", levels=4, precision="exact")

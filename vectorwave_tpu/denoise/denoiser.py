@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..errors import ErrorCode, InvalidArgumentError
 from ..ops.thresholds import (
     apply_threshold,
     block_shrink,
@@ -118,6 +119,20 @@ def denoise_multilevel(
 
     tier = _resolve_tier(tolerance, precision)
     if tier == "exact":
+        if precision is not None:
+            # an EXPLICIT exact request cannot be honored on this surface
+            # (f32 output floor) — raising beats silently substituting a
+            # different named tier; tolerance-derived requests clamp
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                "denoise_multilevel cannot serve precision='exact': the "
+                "denoised output is f32, so the float32 tier is the floor "
+                "on this surface",
+                suggestions=("Pass tolerance= instead (clamps to float32, "
+                             "documented), or use the exact round-trip/"
+                             "coefficient surfaces (modwt_multilevel with "
+                             "precision='exact')",),
+            )
         tier = "float32"  # f32 output floor; see docstring
     fused = _try_fused_denoise(
         x, wavelet, levels, method, mode, boundary, precision=tier

@@ -148,9 +148,9 @@ def _cascade_start(filter_length: int, levels: int) -> int:
 
 
 def _up_taps(f, s: int) -> tuple:
-    arr = np.zeros(s * (len(f) - 1) + 1, np.float64)
-    arr[::s] = np.asarray(f, np.float64)
-    return tuple(arr.tolist())
+    from .modwt_exact import _upsample_taps
+
+    return _upsample_taps(f, s)
 
 
 @functools.partial(

@@ -45,15 +45,14 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 # One compiled program per static configuration.  Without this, every call
 # re-executes the shard_map EAGERLY — per-op dispatch across all shards costs
 # seconds on a virtual mesh; under jit the whole cascade is one XLA program.
-_PROGRAM_CACHE: dict = {}
-_PROGRAM_CACHE_MAX = 256
+from .._jitcache import BoundedCache
+
+_PROGRAM_CACHE: BoundedCache = BoundedCache(256)
 
 
 def _cached_program(key, build):
     fn = _PROGRAM_CACHE.get(key)
     if fn is None:
-        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:  # FIFO eviction
-            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
         fn = _PROGRAM_CACHE[key] = jax.jit(build())
     return fn
 

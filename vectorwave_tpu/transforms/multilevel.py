@@ -102,8 +102,10 @@ class ExactMODWTResult(NamedTuple):
 
 #: Requested max |error| -> cheapest precision tier that meets it, with
 #: ~10x margin over the committed on-chip round-trip RMSEs
-#: (BENCH_LATEST.json: bf16 3.5e-3, bf16_3x 6.8e-6, float32 1.0e-7,
-#: exact 8.4e-14).  Thresholds are ladder boundaries, not error claims.
+#: (BENCH_LATEST.json: bf16 3.5e-3, bf16_3x 6.8e-6, float32 1.0e-7; the
+#: exact tier's balanced profile measures RMSE 3-6e-12 / max ~2e-11,
+#: its full profile ~1e-13 — kernels/modwt_exact.PROFILES).  Thresholds
+#: are ladder boundaries, not error claims.
 _TOLERANCE_LADDER = ((3e-2, "bf16"), (1e-4, "bf16_3x"), (3e-6, "float32"))
 
 
@@ -288,10 +290,12 @@ def modwt_multilevel(
 
         batch_shape = x.shape[:-1]
         flat = x.reshape((-1, n)) if x.ndim > 2 else x
-        # tolerances at/under 1e-11 escalate to the full (~1e-13) slice
-        # geometry; the balanced profile serves the <=1e-10 contract
+        # tolerances under 5e-11 escalate to the full (~1e-13) slice
+        # geometry: the balanced profile's measured worst-case error is
+        # ~2e-11 (PROFILES docstring), so budgets below 5e-11 would eat
+        # its margin; the balanced profile serves the <=1e-10 contract
         profile = (
-            "full" if tolerance is not None and tolerance <= 1e-11
+            "full" if tolerance is not None and tolerance < 5e-11
             else "balanced"
         )
         dpairs, apair = modwt_multilevel_exact(
@@ -492,7 +496,7 @@ def imodwt_multilevel(
             dpairs, apair, w, boundary=boundary,
             interpret=not pallas_available(),
             profile=(
-                "full" if tolerance is not None and tolerance <= 1e-11
+                "full" if tolerance is not None and tolerance < 5e-11
                 else "balanced"
             ),
         )
