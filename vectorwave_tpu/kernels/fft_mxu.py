@@ -120,6 +120,37 @@ def mxu_fft(zr: jnp.ndarray, zi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]
     return _fft_rec(zr, zi, zr.shape[-1], -1.0)
 
 
+def mxu_rfft(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward real FFT -> (re, im) planes of the ``n//2 + 1`` rfft bins.
+
+    Packed half-size: z[t] = x[2t] + i x[2t+1] is one length-n/2 complex
+    signal; X[k] = Xe[k] + e^{-2pi i k/n} Xo[k] with Xe/Xo the even/odd
+    DFTs recovered from Z = fft(z).  (The inverse of mxu_irfft's
+    unpacking.)  Matches ``jnp.fft.rfft`` at f32 grade.
+    """
+    n = x.shape[-1]
+    half = n // 2
+    z = x.reshape(x.shape[:-1] + (half, 2))
+    zr = z[..., 0]
+    zi = z[..., 1]
+    yr, yi = mxu_fft(zr, zi)
+    # Z[k mod half] and Z[(half - k) mod half] for k in [0, half]
+    yr_e = jnp.concatenate([yr, yr[..., :1]], axis=-1)
+    yi_e = jnp.concatenate([yi, yi[..., :1]], axis=-1)
+    fr = jnp.concatenate([yr[..., :1], yr[..., :0:-1], yr[..., :1]], axis=-1)
+    fi = jnp.concatenate([yi[..., :1], yi[..., :0:-1], yi[..., :1]], axis=-1)
+    er = (yr_e + fr) * np.float32(0.5)
+    ei = (yi_e - fi) * np.float32(0.5)
+    or_ = (yi_e + fi) * np.float32(0.5)   # Xo = (Z - conj(Zf)) / (2i):
+    oi = (fr - yr_e) * np.float32(0.5)    # re = (zi + fi)/2, im = (fr - zr)/2
+    k = np.arange(half + 1)
+    ang = -2.0 * np.pi * k / n
+    tr = np.cos(ang).astype(np.float32)
+    ti = np.sin(ang).astype(np.float32)
+    or_, oi = _cmul(or_, oi, jnp.asarray(tr), jnp.asarray(ti))
+    return er + or_, ei + oi
+
+
 def mxu_irfft(sr: jnp.ndarray, si: jnp.ndarray, n: int) -> jnp.ndarray:
     """Real inverse FFT from a hermitian half-spectrum (re, im) pair.
 
