@@ -180,21 +180,42 @@ def _sampled_d1(history: jnp.ndarray, block: jnp.ndarray, w, take: int):
     """The stratified level-1 detail samples the noise ring consumes,
     computed directly from raw x (history + block) with the scaled analysis
     taps — identical values to ``coeffs.details[0][..., :take*stride:stride]``
-    of the jnp streaming cascade, without materializing the full plane."""
+    of the jnp streaming cascade, without materializing the full plane.
+
+    When ``stride >= L`` (every production shape) the samples are built
+    from strided block slices plus L-1 scalar history reads — no
+    ``[hist | block]`` concat, which materialized an extra copy of the
+    whole block per streaming step (VERDICT r04 #4's remaining
+    out-of-kernel work).
+    """
     hi = [float(v) * _INV_SQRT2 for v in w.dec_hi]
     length = len(hi)
     n = block.shape[-1]
     stride = max(1, n // take)
-    hist_tail = history[..., -(length - 1):] if length > 1 else history[..., :0]
-    x_cat = jnp.concatenate([hist_tail, block], axis=-1)
-    off = x_cat.shape[-1] - n  # position p in the block = x_cat[p + off]
-    acc = None
+    if stride < length or take < 2:
+        # tiny blocks: sample positions reach into history — concat path
+        hist_tail = (
+            history[..., -(length - 1):] if length > 1 else history[..., :0]
+        )
+        x_cat = jnp.concatenate([hist_tail, block], axis=-1)
+        off = x_cat.shape[-1] - n
+        acc = None
+        for k, h in enumerate(hi):
+            sl = x_cat[..., off - k: off - k + (take - 1) * stride + 1: stride]
+            term = h * sl
+            acc = term if acc is None else acc + term
+        return acc
+    # d1[p] = sum_k hi[k] x[p - k]; p = 0 reads the history tail, every
+    # later sample position (p = j*stride >= L-1) stays inside the block
+    first = None
+    rest = None
     for k, h in enumerate(hi):
-        # d1[p] = sum_k hi[k] * x[p - k]
-        sl = x_cat[..., off - k : off - k + (take - 1) * stride + 1 : stride]
-        term = h * sl
-        acc = term if acc is None else acc + term
-    return acc
+        f = block[..., :1] if k == 0 else history[..., -k: (-k + 1) or None]
+        first = h * f if first is None else first + h * f
+        sl = block[..., stride - k: stride - k + (take - 2) * stride + 1:
+                   stride]
+        rest = h * sl if rest is None else rest + h * sl
+    return jnp.concatenate([first, rest], axis=-1)
 
 
 def streaming_denoise_block_kernel(
