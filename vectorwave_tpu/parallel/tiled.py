@@ -577,6 +577,7 @@ def modwt_multilevel_tiled_exact(
     boundary: str = "periodic",
     batch_axis: str | None = None,
     interpret: bool | None = None,
+    profile: str = "balanced",
 ):
     """Sharded exact analysis: (details pairs tuple, approx pair), each
     plane a double-float ``(hi, lo)`` pair sharded like the input."""
@@ -613,6 +614,7 @@ def modwt_multilevel_tiled_exact(
             full = jax.lax.all_gather(x2, axis, axis=-1, tiled=True)
             pairs = analysis_exact(
                 full, levels, filters, True, interpret=interpret,
+                profile=profile,
             )
             start = idx * n_loc
 
@@ -634,6 +636,7 @@ def modwt_multilevel_tiled_exact(
             halo = _gather_halo(x2, eff_span, axis, from_left, "left")
         pairs = analysis_exact(
             x2, levels, filters, False, interpret=interpret, halo=halo,
+            profile=profile,
         )
         out = tuple(
             (h.reshape(lead + (n_loc,)), l.reshape(lead + (n_loc,)))
@@ -645,7 +648,7 @@ def modwt_multilevel_tiled_exact(
     pair_spec = (spec, spec)
     fn = _cached_program(
         ("fwd-exact", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
-         x.ndim, interpret),
+         x.ndim, interpret, profile),
         lambda: jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -668,6 +671,7 @@ def imodwt_multilevel_tiled_exact(
     boundary: str = "periodic",
     batch_axis: str | None = None,
     interpret: bool | None = None,
+    profile: str = "balanced",
 ):
     """Sharded exact synthesis from double-float plane pairs: returns the
     reconstructed ``(hi, lo)`` pair (combine in f64 on host to evaluate)."""
@@ -705,6 +709,7 @@ def imodwt_multilevel_tiled_exact(
             )
             hi_f, lo_f = synthesis_exact(
                 full_pairs, levels, filters, True, interpret=interpret,
+                profile=profile,
             )
             start = idx * n_loc
             hi = jax.lax.dynamic_slice_in_dim(hi_f, start, n_loc, axis=-1)
@@ -732,6 +737,7 @@ def imodwt_multilevel_tiled_exact(
             )
         hi, lo = synthesis_exact(
             p2, levels, filters, False, interpret=interpret, halo=halos,
+            profile=profile,
         )
         return hi.reshape(lead + (n_loc,)), lo.reshape(lead + (n_loc,))
 
@@ -740,7 +746,7 @@ def imodwt_multilevel_tiled_exact(
     pair_spec = (spec, spec)
     fn = _cached_program(
         ("inv-exact", _wavelet_key(w), levels, mesh, axis, wrap, batch_axis,
-         ndim, interpret),
+         ndim, interpret, profile),
         lambda: jax.shard_map(
             shard_fn,
             mesh=mesh,
