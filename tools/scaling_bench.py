@@ -50,7 +50,7 @@ WAVELET = "db4"
 LEVELS = 6
 
 
-def _time(fn, *args, reps=5):
+def _time(fn, *args, reps=7):
     jitted = jax.jit(fn)
     out = jitted(*args)  # compile + warm (eager shard_map would otherwise
     jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)  # re-trace
@@ -60,7 +60,11 @@ def _time(fn, *args, reps=5):
         out = jitted(*args)
         jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    # MIN, not median: host-scheduler interference on the shared 4-core
+    # box only ever ADDS time (2-dev weak efficiency swung 0.45-0.84
+    # across identical runs at median); the minimum is the contention-
+    # robust statistic for a deterministic program
+    return float(min(times))
 
 
 def bench_tiled(n_devices: int, n: int) -> float:
@@ -303,7 +307,12 @@ def main() -> None:
         "The residual weak-scaling loss in the no-comm control is host",
         "contention (shared DRAM + 4 physical cores), which will not",
         "transfer to real multi-chip hardware; the collective+sync share",
-        "is the part the sharding design owns.",
+        "is the part the sharding design owns.  Run-to-run NOTE: the",
+        "2-device weak efficiency swings 0.45-0.84 across identical",
+        "min-of-7 runs of this script (background harness load on the",
+        "shared box); the control RATIO above is the stable, meaningful",
+        "statistic — the analytic bytes model (~40 ns of ICI time per",
+        "boundary) is what transfers to silicon.",
     ]
 
     lines += [
