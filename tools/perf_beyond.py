@@ -64,6 +64,19 @@ def main() -> None:
                   iters=100)
     out["modwpt4_roundtrip_64x16384_ms"] = round(tb, 3)
     out["modwpt4_msamples_per_s_64"] = round(64 * 16384 / (tb / 1e3) / 1e6, 1)
+    # fast tier: the composed tree is BLOCK-MINIMAL (2 band blocks/node is
+    # the floor), so its bf16_3x MXU ceiling is ~1.7 Gs/s for sym8 d4
+    # (124 blocks/sample x 3 passes); 1-pass bf16 is the throughput lever
+    vw.set_fused_precision("bf16")
+    try:
+        tf = _measure(lambda z: imodwpt(modwpt(z, "sym8", 4), "sym8"), x1b,
+                      iters=100)
+    finally:
+        vw.set_fused_precision("bf16_3x")
+    out["modwpt4_roundtrip_64x16384_bf16_ms"] = round(tf, 3)
+    out["modwpt4_msamples_per_s_64_bf16"] = round(
+        64 * 16384 / (tf / 1e3) / 1e6, 1
+    )
 
     # 2. wavelet variance, 1M samples, 6 levels
     x2 = jnp.asarray(rng.standard_normal(1 << 20), jnp.float32)
@@ -108,7 +121,11 @@ def main() -> None:
              "ms": out["modwpt4_roundtrip_8x16384_ms"],
              "note": f"{out['modwpt4_msamples_per_s']:.0f} Msamples/s "
                      "(latency-class shape); 64x16K batch: "
-                     f"{out['modwpt4_msamples_per_s_64']:.0f} Ms/s"},
+                     f"{out['modwpt4_msamples_per_s_64']:.0f} Ms/s "
+                     "(bf16 fast tier: "
+                     f"{out['modwpt4_msamples_per_s_64_bf16']:.0f} Ms/s; "
+                     "the composed tree is block-minimal — 124 band "
+                     "blocks/sample caps sym8-d4 bf16_3x at ~1.7 Gs/s)"},
             {"name": "wavelet_variance 1M samples, 6-level db4 + CIs",
              "ms": out["wavelet_variance_1M_6lvl_ms"], "note": ""},
             {"name": "wavelet_coherence morl 32 scales x 32768",
