@@ -55,8 +55,11 @@ spec = jax.jit(lambda a, b: jax.lax.complex(a, b))(sr, si)
 
 
 def xla_inv(z):
+    # carry: fold the real output back into the complex spectrum with
+    # lax.complex (a tiny n=2 rfft used here previously hits UNIMPLEMENTED
+    # on the axon backend)
     out = jnp.fft.irfft(z, n=N, axis=-1)
-    return z + 1e-6 * jnp.fft.rfft(out[..., :1], n=2, axis=-1)[..., :1]
+    return z + 1e-6 * jax.lax.complex(out[..., :half], out[..., 1 : half + 1])
 
 
 def mxu_inv(zr):
