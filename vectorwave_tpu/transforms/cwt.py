@@ -286,32 +286,17 @@ def cwt(
         if n_small == len(scales):
             return CWTResult(out_small, scales, boundary)
         large = scales[n_small:]
-        spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
-        if big:
-            bank_spec = _device_bank_spec(
-                w, large, fft_size, True, complex_dtype
-            )
-        else:
-            bank_l, _ = _sample_bank(w, large, fft_size)
-            bank_spec = _device_complex(
-                np.conj(np.fft.rfft(bank_l.real, axis=-1)), complex_dtype
-            )
-        prod = spec_x[..., None, :] * bank_spec
-        out_large = _irfft_synthesis(prod, fft_size, real_dtype)[..., :n]
+        out_large = _real_fft_rows(
+            x, w, large, fft_size, n, real_dtype, complex_dtype, big
+        )
         out = jnp.concatenate(
             [out_small, out_large.astype(real_dtype)], axis=-2
         )
         return CWTResult(out, scales, boundary)
 
-    spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
-    if big:
-        bank_spec = _device_bank_spec(w, scales, fft_size, True, complex_dtype)
-    else:
-        bank_spec = _device_complex(
-            np.conj(np.fft.rfft(bank.real, axis=-1)), complex_dtype
-        )
-    prod = spec_x[..., None, :] * bank_spec
-    out = _irfft_synthesis(prod, fft_size, real_dtype)[..., :n]
+    out = _real_fft_rows(
+        x, w, scales, fft_size, n, real_dtype, complex_dtype, big
+    )
     return CWTResult(out.astype(real_dtype), scales, boundary)
 
 
@@ -357,6 +342,80 @@ def _irfft_synthesis(prod, fft_size: int, real_dtype):
             fft_size,
         )
     return jnp.fft.irfft(prod, n=fft_size, axis=-1)
+
+
+#: smallest FFT size routed through the band-limited decimated inverse
+#: (kernels/cwt_banded.py): below this the full irfft is already cheap.
+#: Tests lower it to exercise the tier on CPU-sized signals.
+_BANDED_MIN_FFT = 1 << 16
+
+
+def _use_banded(fft_size: int, real_dtype) -> bool:
+    from ..config import get_backend
+    from ..kernels.modwt_pallas import pallas_available
+
+    backend = get_backend()
+    if backend == "jnp":
+        return False  # the jnp backend stays the bit-faithful oracle
+    if backend == "auto" and not pallas_available():
+        return False  # CPU runs keep full-inverse parity with the oracle
+    return real_dtype == jnp.float32 and fft_size >= _BANDED_MIN_FFT
+
+
+def _host_real_bank_rows(
+    w: ContinuousWavelet, scales_sub, fft_size: int
+) -> list[np.ndarray]:
+    """Host-side ``conj(rfft(bank_row))`` per scale (f64, trace-time)."""
+    bank_sub, _ = _sample_bank(w, scales_sub, fft_size)
+    return list(np.conj(np.fft.rfft(bank_sub.real, axis=-1)))
+
+
+def _real_fft_rows(
+    x, w, scales_sub, fft_size: int, n: int, real_dtype, complex_dtype, big
+):
+    """FFT-path rows for real-wavelet scales: banded tier where eligible.
+
+    Narrow-band (large) scales route through the band-limited decimated
+    inverse (kernels/cwt_banded.py — one small ifft + interpolation
+    matmul per scale instead of a length-``fft_size`` inverse, which
+    costs ~0.7-0.9 ms/scale at 2^20-2^21 by any full route on this
+    runtime); the remaining head of wide-band scales keeps the classic
+    ``prod -> irfft`` synthesis (``CWTTransform.java:223-313``).
+    """
+    spec_x = jnp.fft.rfft(x.astype(real_dtype), n=fft_size, axis=-1)
+    start = len(scales_sub)
+    plans: list = []
+    if _use_banded(fft_size, real_dtype):
+        from ..kernels.cwt_banded import banded_eligible_suffix
+
+        host_rows = _host_real_bank_rows(w, scales_sub, fft_size)
+        start, plans = banded_eligible_suffix(host_rows, fft_size)
+    parts = []
+    head = tuple(scales_sub[:start])
+    if head:
+        if big:
+            bank_spec = _device_bank_spec(
+                w, head, fft_size, True, complex_dtype
+            )
+        else:
+            bank_h, _ = _sample_bank(w, head, fft_size)
+            bank_spec = _device_complex(
+                np.conj(np.fft.rfft(bank_h.real, axis=-1)), complex_dtype
+            )
+        prod = spec_x[..., None, :] * bank_spec
+        parts.append(
+            _irfft_synthesis(prod, fft_size, real_dtype)[..., :n].astype(
+                real_dtype
+            )
+        )
+    if plans:
+        from ..kernels.cwt_banded import banded_row
+
+        rows = [banded_row(spec_x, p, fft_size, n) for p in plans]
+        parts.append(jnp.stack(rows, axis=-2).astype(real_dtype))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=-2)
 
 
 #: largest half-support served by the kernel-direct CWT tier (span 2*half;
