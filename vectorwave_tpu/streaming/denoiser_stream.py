@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..errors import ErrorCode, InvalidArgumentError
@@ -218,6 +219,33 @@ def _sampled_d1(history: jnp.ndarray, block: jnp.ndarray, w, take: int):
     return jnp.concatenate([first, rest], axis=-1)
 
 
+def _sigma_from_window(window, noise_estimation, fixed_sigma, lead, dtype):
+    est = noise_estimation.lower()
+    if est == "mad":
+        # sort-free exact median: jnp.median lowers to a per-block SORT;
+        # the nibble counting passes (ops/thresholds.median_magnitude)
+        # match it bit-for-bit on the non-negative window
+        from ..ops.thresholds import median_magnitude
+
+        return median_magnitude(window) / 0.6745
+    if est == "std":
+        return jnp.std(window, axis=-1, keepdims=True)
+    if est == "fixed":
+        if fixed_sigma is None:
+            raise InvalidArgumentError(
+                ErrorCode.CFG_INVALID_CONFIG,
+                "noise_estimation='fixed' requires fixed_sigma",
+            )
+        return jnp.broadcast_to(
+            jnp.asarray(fixed_sigma, dtype=dtype), lead + (1,)
+        )
+    raise InvalidArgumentError(
+        ErrorCode.CFG_INVALID_CONFIG,
+        f"Unknown noise estimation: {noise_estimation!r}",
+        suggestions=("Use 'mad', 'std' or 'fixed'",),
+    )
+
+
 def streaming_denoise_block_kernel(
     state: KernelStreamingDenoiserState,
     block: jnp.ndarray,
@@ -262,31 +290,9 @@ def streaming_denoise_block_kernel(
     window, pos, fill = _update_noise_window(
         state.noise_window, state.window_pos, state.window_fill, d1_sub
     )
-    est = noise_estimation.lower()
-    if est == "mad":
-        # sort-free exact median: jnp.median lowers to a per-block SORT;
-        # the nibble counting passes (ops/thresholds.median_magnitude)
-        # match it bit-for-bit on the non-negative window
-        from ..ops.thresholds import median_magnitude
-
-        sigma = median_magnitude(window) / 0.6745
-    elif est == "std":
-        sigma = jnp.std(window, axis=-1, keepdims=True)
-    elif est == "fixed":
-        if fixed_sigma is None:
-            raise InvalidArgumentError(
-                ErrorCode.CFG_INVALID_CONFIG,
-                "noise_estimation='fixed' requires fixed_sigma",
-            )
-        sigma = jnp.broadcast_to(
-            jnp.asarray(fixed_sigma, dtype=block.dtype), lead + (1,)
-        )
-    else:
-        raise InvalidArgumentError(
-            ErrorCode.CFG_INVALID_CONFIG,
-            f"Unknown noise estimation: {noise_estimation!r}",
-            suggestions=("Use 'mad', 'std' or 'fixed'",),
-        )
+    sigma = _sigma_from_window(
+        window, noise_estimation, fixed_sigma, lead, block.dtype
+    )
     w_size = state.noise_window.shape[-1]
     threshold = (
         sigma * math.sqrt(2.0 * math.log(w_size)) * threshold_multiplier
@@ -335,6 +341,135 @@ def streaming_denoise_block_kernel(
         window, pos, fill,
     )
     return new_state, out2.reshape(lead + (n,))
+
+
+def streaming_denoise_blocks_kernel(
+    state: KernelStreamingDenoiserState,
+    blocks: jnp.ndarray,  # [K, ..., block]
+    wavelet,
+    *,
+    levels: int,
+    threshold_mode: str = "soft",
+    noise_estimation: str = "mad",
+    threshold_multiplier: float = 1.0,
+    fixed_sigma: float | None = None,
+    tile: int = 65536,
+    precision: str | None = None,
+    interpret: bool | None = None,
+) -> tuple[KernelStreamingDenoiserState, jnp.ndarray]:
+    """K buffered blocks in ONE fused kernel call — bit-identical to K
+    sequential :func:`streaming_denoise_block_kernel` steps.
+
+    The streaming carry is the RAW-INPUT tail, never an output: block i's
+    kernel pass depends only on block i-1's last ``span`` raw samples.
+    With K blocks in hand the K analysis->threshold->synthesis passes are
+    therefore independent — only the (cheap) noise-ring/sigma chain is
+    sequential.  This runs that chain as a ``lax.scan`` over the strided
+    d1 samples, then ONE ``[K*B, block]`` composite-kernel call with
+    per-block halos gathered from the neighbouring block tails, instead
+    of K kernel launches (measured: the per-launch cost, not the sigma
+    math, was the sequential path's remaining gap to the batch fused
+    denoise rate — VERDICT r04 #4 / tools/probe_sigma_cost.py).
+
+    Falls back to the sequential step when blocks are shorter than the
+    history span (a tail then crosses two blocks) or the kernel declines
+    the shape.  Reference contract: flush/buffered-batch semantics of
+    ``BatchStreamingMODWT.java:181-258`` + the streaming denoiser
+    ``MODWTStreamingDenoiser.java:94-199``.
+    """
+    k = blocks.shape[0]
+    lead = blocks.shape[1:-1]
+    n = blocks.shape[-1]
+    span = state.history.shape[-1]
+    w = _resolve_discrete(wavelet)
+    kwargs = dict(
+        levels=levels, threshold_mode=threshold_mode,
+        noise_estimation=noise_estimation,
+        threshold_multiplier=threshold_multiplier,
+        fixed_sigma=fixed_sigma, tile=tile, precision=precision,
+        interpret=interpret,
+    )
+    if n < span or k == 1:
+        outs = []
+        for i in range(k):
+            state, out = streaming_denoise_block_kernel(
+                state, blocks[i], wavelet, **kwargs
+            )
+            outs.append(out)
+        return state, jnp.stack(outs)
+
+    from ..config import get_fused_precision
+    from ..kernels.modwt_mxu import run_denoise_composite_stream
+    from ..kernels.modwt_pallas import _kernel_filters, pallas_available
+
+    if interpret is None:
+        interpret = not pallas_available()
+    prec = precision or get_fused_precision()
+
+    blocks2 = blocks.reshape(k, -1, n)
+    b2 = blocks2.shape[1]
+    # per-block halos: block 0 takes the state history, block i>0 the tail
+    # of block i-1 (n >= span so one predecessor suffices)
+    hists2 = jnp.concatenate(
+        [
+            state.history.reshape(1, -1, span).astype(blocks.dtype),
+            blocks2[:-1, :, n - span:],
+        ],
+        axis=0,
+    )
+    take = min(16, n, state.noise_window.shape[-1])
+    d1_all = _sampled_d1(
+        hists2.reshape(k * b2, span), blocks2.reshape(k * b2, n), w, take
+    ).reshape((k,) + lead + (take,))
+
+    def ring_step(carry, d1_k):
+        window, pos, fill = carry
+        window, pos, fill = _update_noise_window(window, pos, fill, d1_k)
+        sigma = _sigma_from_window(
+            window, noise_estimation, fixed_sigma, lead, blocks.dtype
+        )
+        return (window, pos, fill), sigma
+
+    (window, pos, fill), sigmas = jax.lax.scan(
+        ring_step,
+        (state.noise_window, state.window_pos, state.window_fill),
+        d1_all,
+    )
+    w_size = state.noise_window.shape[-1]
+    threshold = (
+        sigmas * math.sqrt(2.0 * math.log(w_size)) * threshold_multiplier
+    )  # [K, ..., 1]
+    ths = jnp.concatenate(
+        [
+            (threshold / jnp.sqrt(2.0**level)).reshape(k * b2, 1)
+            for level in range(1, levels + 1)
+        ],
+        axis=-1,
+    ).astype(jnp.float32)  # [K*B, levels]
+
+    out2 = run_denoise_composite_stream(
+        blocks2.reshape(k * b2, n), hists2.reshape(k * b2, span), ths,
+        levels, _kernel_filters(w, synthesis=False),
+        _kernel_filters(w, synthesis=True), tile, threshold_mode, prec,
+        interpret,
+    )
+    if out2 is None:
+        # kernel declined the flattened shape: sequential fallback
+        outs = []
+        for i in range(k):
+            state, out = streaming_denoise_block_kernel(
+                state, blocks[i], wavelet, **kwargs
+            )
+            outs.append(out)
+        return state, jnp.stack(outs)
+
+    new_state = KernelStreamingDenoiserState(
+        blocks2[-1, :, n - span:].reshape(lead + (span,)).astype(
+            state.history.dtype
+        ),
+        window, pos, fill,
+    )
+    return new_state, out2.reshape((k,) + lead + (n,))
 
 
 class StreamingDenoiser:
