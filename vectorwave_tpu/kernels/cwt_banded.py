@@ -82,6 +82,7 @@ class BandPlan(NamedTuple):
     design_residual: float
     dc_conj: complex  # conj(psi_hat)[0]: the DC term, carried exactly
     dropped_mass: float  # relative l2 of the out-of-band bins dropped
+    hermitian: bool  # True: real-output (rfft) synthesis; False: complex
 
 
 def _next_pow2(v: int) -> int:
@@ -124,12 +125,18 @@ def plan_banded(
     *,
     eps: float = _BAND_EPS,
     taps: int = _TAPS,
+    hermitian: bool = True,
 ) -> BandPlan | None:
     """Build a per-scale plan from the host-side bank spectrum row.
 
-    ``row_spec``: [fft_size//2 + 1] complex128 ``conj(rfft(bank_row))``
-    values.  Returns ``None`` when this scale is not banded-eligible
-    (band too wide, touches DC/Nyquist, or design residual too large).
+    ``row_spec``: ``conj(rfft(bank_row))`` values ([fft_size//2 + 1],
+    ``hermitian=True`` — real-output synthesis doubles the band term) or
+    ``conj(fft(bank_row))`` ([fft_size], ``hermitian=False`` — complex
+    output; analytic/complex wavelets are one-sided, and any genuine
+    negative-frequency content fails the dropped-mass gate).  Returns
+    ``None`` when this scale is not banded-eligible (band too wide,
+    touches DC/Nyquist, too much out-of-band mass, or design residual
+    too large).
     """
     half = fft_size // 2
     mags = np.abs(row_spec)
@@ -162,10 +169,10 @@ def plan_banded(
     if resid > 1e-6:
         return None
     band = np.asarray(row_spec[k_lo : k_hi + 1], dtype=np.complex128)
-    filters = h * (2.0 * kprime / fft_size)
+    filters = h * ((2.0 if hermitian else 1.0) * kprime / fft_size)
     return BandPlan(
         k_lo, k_hi, kc, kprime, m, band, filters, resid,
-        complex(row_spec[0]), dropped,
+        complex(row_spec[0]), dropped, hermitian,
     )
 
 
@@ -213,19 +220,32 @@ def banded_row(
     cosm = cq * cr_ - sq * sr_
     sinm = sq * cr_ + cq * sr_
 
-    out = ur * cosm - ui * sinm
+    if plan.hermitian:
+        out = ur * cosm - ui * sinm
+        out = out.reshape(out.shape[:-2] + (kprime * m,))[..., :n]
+        if plan.dc_conj != 0.0:
+            # exact DC term of the hermitian inverse: (1/N) Re(X[0] B0*)
+            dc = jnp.real(
+                spec_x[..., :1] * jnp.asarray(plan.dc_conj, jnp.complex64)
+            ).astype(jnp.float32) * np.float32(1.0 / fft_size)
+            out = out + dc  # [..., 1] broadcasts over the n axis
+        return out
+    # complex output (analytic/complex wavelets): no hermitian doubling,
+    # the modulated interpolant IS the coefficient row
+    out_r = ur * cosm - ui * sinm
+    out_i = ur * sinm + ui * cosm
+    out = jax.lax.complex(out_r, out_i)
     out = out.reshape(out.shape[:-2] + (kprime * m,))[..., :n]
     if plan.dc_conj != 0.0:
-        # exact DC term of the hermitian inverse: (1/N) Re(X[0] B0*)
-        dc = jnp.real(
-            spec_x[..., :1] * jnp.asarray(plan.dc_conj, jnp.complex64)
-        ).astype(jnp.float32) * np.float32(1.0 / fft_size)
-        out = out + dc  # [..., 1] broadcasts over the n axis
+        dc = spec_x[..., :1].astype(jnp.complex64) * jnp.asarray(
+            plan.dc_conj / fft_size, jnp.complex64
+        )
+        out = out + dc
     return out
 
 
 def banded_eligible_suffix(
-    host_rows: list[np.ndarray], fft_size: int
+    host_rows: list[np.ndarray], fft_size: int, *, hermitian: bool = True
 ) -> tuple[int, list[BandPlan]]:
     """Plans for the longest all-eligible SUFFIX of the given scale rows.
 
@@ -235,7 +255,7 @@ def banded_eligible_suffix(
     ``start_index + i``.
     """
     plans: list[BandPlan | None] = [
-        plan_banded(row, fft_size) for row in host_rows
+        plan_banded(row, fft_size, hermitian=hermitian) for row in host_rows
     ]
     start = len(plans)
     while start > 0 and plans[start - 1] is not None:

@@ -254,22 +254,55 @@ def cwt(
 
     big = fft_size > _BAKED_BANK_MAX_FFT
     if complex_out:
-        spec_x = jnp.fft.fft(x.astype(real_dtype), n=fft_size, axis=-1)
+        spec_raw = jnp.fft.fft(x.astype(real_dtype), n=fft_size, axis=-1)
+        mult = None
         if analytic and not is_complex:
             # analytic signal: double positive freqs, zero negative
             freq = np.fft.fftfreq(fft_size)
             mult = np.where(freq > 0, 2.0, np.where(freq == 0, 1.0, 0.0))
-            spec_x = spec_x * jnp.asarray(mult, dtype=real_dtype).astype(
-                complex_dtype
+
+        start = len(scales)
+        plans: list = []
+        if _use_banded(fft_size, real_dtype):
+            from ..kernels.cwt_banded import banded_eligible_suffix
+
+            # fold the analytic multiplier into the HOST rows so the
+            # banded tier can slice the raw spectrum (negative-freq
+            # leakage of the truncated bank is zeroed by the multiplier
+            # and must not disqualify the band)
+            host_rows = [
+                _host_complex_bank_row(w, s, fft_size, mult) for s in scales
+            ]
+            start, plans = banded_eligible_suffix(
+                host_rows, fft_size, hermitian=False
             )
-        if big:
-            bank_spec = _device_bank_spec(w, scales, fft_size, False, complex_dtype)
-        else:
-            bank_spec = _device_complex(
-                np.conj(np.fft.fft(bank, axis=-1)), complex_dtype
-            )
-        prod = spec_x[..., None, :] * bank_spec
-        out = jnp.fft.ifft(prod, axis=-1)[..., :n]
+        parts = []
+        head = tuple(scales[:start])
+        if head:
+            spec_x = spec_raw
+            if mult is not None:
+                spec_x = spec_x * jnp.asarray(mult, dtype=real_dtype).astype(
+                    complex_dtype
+                )
+            if big:
+                bank_spec = _device_bank_spec(
+                    w, head, fft_size, False, complex_dtype
+                )
+            else:
+                bank_h, _ = _sample_bank(w, head, fft_size)
+                bank_spec = _device_complex(
+                    np.conj(np.fft.fft(bank_h, axis=-1)), complex_dtype
+                )
+            prod = spec_x[..., None, :] * bank_spec
+            parts.append(jnp.fft.ifft(prod, axis=-1)[..., :n])
+        if plans:
+            from ..kernels.cwt_banded import banded_row
+
+            rows = [
+                banded_row(spec_raw, p, fft_size, n) for p in plans
+            ]
+            parts.append(jnp.stack(rows, axis=-2).astype(complex_dtype))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
         return CWTResult(out, scales, boundary)
 
     # hybrid: small-support scales through the banded-MXU bank kernel —
@@ -368,6 +401,19 @@ def _host_real_bank_rows(
     """Host-side ``conj(rfft(bank_row))`` per scale (f64, trace-time)."""
     bank_sub, _ = _sample_bank(w, scales_sub, fft_size)
     return list(np.conj(np.fft.rfft(bank_sub.real, axis=-1)))
+
+
+def _host_complex_bank_row(
+    w: ContinuousWavelet, scale: float, fft_size: int, mult
+) -> np.ndarray:
+    """Host-side ``conj(fft(bank_row)) * mult`` for ONE scale (f64).
+
+    Built one row at a time — a big-fft complex bank materialized whole
+    would hold [S, fft_size] complex128 on the host just for planning.
+    """
+    bank_row, _ = _sample_bank(w, (scale,), fft_size)
+    row = np.conj(np.fft.fft(bank_row[0]))
+    return row * mult if mult is not None else row
 
 
 def _real_fft_rows(
